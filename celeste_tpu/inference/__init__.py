@@ -1,0 +1,19 @@
+"""Inference layer (SURVEY.md L4, C10/C11): MCMC transition kernels and
+chain-ensemble runners, all TPU-first.
+
+Design (SURVEY.md §7 stances): every kernel is a pure
+``(key, state) -> (state, info)`` function over a flat [D] parameter
+vector; ensembles come from ``vmap`` (never Python loops over chains);
+time comes from ``lax.scan``; cross-device scaling comes from
+``celeste_tpu.parallel`` sharding the chain axis.  The reference's
+gradient-free MH/slice kernels are reimplemented (for posterior parity,
+C10/C11) alongside the gradient-based HMC/NUTS upgrades the north-star
+mandates.
+"""
+
+from celeste_tpu.inference.mh import mh_init, mh_kernel  # noqa: F401
+from celeste_tpu.inference.slice_ import slice_init, slice_kernel  # noqa: F401
+from celeste_tpu.inference.hmc import hmc_init, hmc_kernel, hmc_warmup  # noqa: F401
+from celeste_tpu.inference.nuts import nuts_kernel  # noqa: F401
+from celeste_tpu.inference.runner import run_chains, run_chains_ensemble  # noqa: F401
+from celeste_tpu.inference.diagnostics import ess, split_rhat, summarize  # noqa: F401

@@ -1,0 +1,104 @@
+"""Priors over source parameters (SURVEY.md C9).
+
+The Celeste-style model puts: a flat prior on position (within the stamp),
+a log-normal prior on the reference-band flux, a Gaussian (optionally
+mixture) prior on *colors* — adjacent-band log-flux ratios
+c_b = log(f_b / f_{b+1}) — a Beta-like prior on the exp/deV mixing weight,
+log-normal on galaxy scale, uniform on axis ratio and angle.  All densities
+are evaluated in CONSTRAINED space; the sampler-side log-|det J| for the
+unconstrained reparameterization is added by the posterior factory
+(``celeste_tpu.inference.problems``).
+
+Defaults are weakly-informative and synthetic-data-friendly; real SDSS runs
+would fit the color GMM offline (C16) and drop the artifact in.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+REF_BAND = 2  # r band
+
+
+def _normal_logpdf(x, mean, std):
+    z = (x - mean) / std
+    return -0.5 * z * z - jnp.log(std) - 0.9189385332046727
+
+
+@dataclass(frozen=True)
+class FluxPrior:
+    """Reference-band log-normal + Gaussian color prior."""
+
+    log_ref_mean: float = 3.0       # log nanomaggies (~20 nmgy)
+    log_ref_std: float = 3.0        # broad
+    color_mean: tuple = (0.0, 0.0, 0.0, 0.0)
+    color_std: tuple = (1.5, 1.5, 1.5, 1.5)
+    ref_band: int = REF_BAND
+
+    def logpdf(self, log_flux):
+        """``log_flux`` [B] natural-log fluxes; density over log-flux space
+        (i.e. the log-normal's density in its log variable)."""
+        b = log_flux.shape[-1]
+        lp = _normal_logpdf(log_flux[..., self.ref_band if b > 1 else 0],
+                            self.log_ref_mean, self.log_ref_std)
+        if b > 1:
+            colors = log_flux[..., :-1] - log_flux[..., 1:]
+            mean = jnp.asarray(self.color_mean[: b - 1], jnp.float32)
+            std = jnp.asarray(self.color_std[: b - 1], jnp.float32)
+            lp = lp + jnp.sum(_normal_logpdf(colors, mean, std), axis=-1)
+        return lp
+
+
+@dataclass(frozen=True)
+class PositionPrior:
+    """Flat within a box of half-width ``halfwidth_arcsec`` around the scene
+    reference; smooth Gaussian roll-off outside keeps the posterior proper
+    and HMC-friendly."""
+
+    halfwidth_arcsec: float = 60.0
+    rolloff: float = 1.0
+
+    def logpdf(self, du):
+        excess = jnp.maximum(jnp.abs(du) - self.halfwidth_arcsec, 0.0)
+        return -0.5 * jnp.sum((excess / self.rolloff) ** 2, axis=-1)
+
+
+@dataclass(frozen=True)
+class GalaxyShapePrior:
+    """theta_dev ~ Beta(a,b); log sigma ~ N; ab ~ flat (0,1); phi ~ flat."""
+
+    theta_a: float = 1.0
+    theta_b: float = 1.0
+    log_sigma_mean: float = 0.3     # ~1.35 arcsec
+    log_sigma_std: float = 1.0
+    ab_a: float = 1.0
+    ab_b: float = 1.0
+
+    def logpdf(self, theta_dev, sigma, ab, phi):
+        lp = (self.theta_a - 1.0) * jnp.log(theta_dev) + \
+             (self.theta_b - 1.0) * jnp.log1p(-theta_dev)
+        lp = lp + _normal_logpdf(jnp.log(sigma), self.log_sigma_mean, self.log_sigma_std)
+        lp = lp + (self.ab_a - 1.0) * jnp.log(ab) + (self.ab_b - 1.0) * jnp.log1p(-ab)
+        # phi flat over the pi-periodic angle: constant
+        return lp
+
+
+@dataclass(frozen=True)
+class SourcePriors:
+    flux: FluxPrior = field(default_factory=FluxPrior)
+    position: PositionPrior = field(default_factory=PositionPrior)
+    shape: GalaxyShapePrior = field(default_factory=GalaxyShapePrior)
+
+    def star_logpdf(self, params):
+        return self.flux.logpdf(jnp.log(params.flux)) + self.position.logpdf(params.u)
+
+    def galaxy_logpdf(self, params):
+        return (
+            self.flux.logpdf(jnp.log(params.flux))
+            + self.position.logpdf(params.u)
+            + self.shape.logpdf(params.theta_dev, params.sigma, params.ab, params.phi)
+        )

@@ -19,7 +19,10 @@ ARCSEC_PER_DEG = 3600.0
 
 
 def _gauss2d(dx, dy, cov):
-    """Single bivariate Gaussian density, explicit 2x2 math."""
+    """Bivariate Gaussian density, explicit 2x2 math; ``dx``/``dy`` may be
+    arrays (the oracle vectorizes over pixels like the 2014-era reference's
+    NumPy code, keeping only the component loops in Python — this also makes
+    it an honest ESS/sec denominator for BASELINE.md)."""
     a, b, c = cov[0, 0], cov[0, 1], cov[1, 1]
     det = a * c - b * b
     inv_a, inv_b, inv_c = c / det, -b / det, a / det
@@ -40,16 +43,13 @@ def oracle_star_lambda(u, flux, stamp):
     """
     h, w = stamp["shape"]
     p = equa2pixel(u, stamp["wcs"])
-    lam = np.zeros((h, w)) + np.asarray(stamp["sky"])
-    for yi in range(h):
-        for xi in range(w):
-            dens = 0.0
-            for k in range(len(stamp["psf_w"])):
-                dx = xi - (p[0] + stamp["psf_mu"][k][0])
-                dy = yi - (p[1] + stamp["psf_mu"][k][1])
-                dens += stamp["psf_w"][k] * _gauss2d(dx, dy, np.asarray(stamp["psf_cov"][k]))
-            lam[yi, xi] += stamp["iota"] * flux * dens
-    return lam
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    dens = np.zeros((h, w))
+    for k in range(len(stamp["psf_w"])):
+        dx = xx - (p[0] + stamp["psf_mu"][k][0])
+        dy = yy - (p[1] + stamp["psf_mu"][k][1])
+        dens += stamp["psf_w"][k] * _gauss2d(dx, dy, np.asarray(stamp["psf_cov"][k]))
+    return np.asarray(stamp["sky"]) + stamp["iota"] * flux * dens
 
 
 def _rot(phi):
@@ -78,18 +78,15 @@ def oracle_galaxy_lambda(u, flux, theta_dev, sigma, ab, phi, stamp):
     for a_j, v_j in zip(DEV_AMPS, DEV_VARS):
         comps.append((theta_dev * a_j, v_j * w_px))
 
-    lam = np.zeros((h, w)) + np.asarray(stamp["sky"])
-    for yi in range(h):
-        for xi in range(w):
-            dens = 0.0
-            for (a_j, cov_j) in comps:
-                for k in range(len(stamp["psf_w"])):
-                    cov = cov_j + np.asarray(stamp["psf_cov"][k])
-                    dx = xi - (p[0] + stamp["psf_mu"][k][0])
-                    dy = yi - (p[1] + stamp["psf_mu"][k][1])
-                    dens += a_j * stamp["psf_w"][k] * _gauss2d(dx, dy, cov)
-            lam[yi, xi] += stamp["iota"] * flux * dens
-    return lam
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    dens = np.zeros((h, w))
+    for (a_j, cov_j) in comps:
+        for k in range(len(stamp["psf_w"])):
+            cov = cov_j + np.asarray(stamp["psf_cov"][k])
+            dx = xx - (p[0] + stamp["psf_mu"][k][0])
+            dy = yy - (p[1] + stamp["psf_mu"][k][1])
+            dens += a_j * stamp["psf_w"][k] * _gauss2d(dx, dy, cov)
+    return np.asarray(stamp["sky"]) + stamp["iota"] * flux * dens
 
 
 def oracle_scene_lambda(sources, stamp):
