@@ -1,0 +1,126 @@
+"""Parallel tempering (SURVEY.md §2.2: the one real parallelism strategy in
+the reference — slice-within-parallel-tempering for the multimodal quasar
+redshift posterior, C15; Miller et al. NIPS 2015).
+
+TPU-first shape: the temperature ladder is an ARRAY axis (vmapped), not a
+process pool.  One tempering "system" holds T replicas of the chain state;
+a step = (a) one kernel step per replica at its inverse temperature
+(vmapped), (b) an even/odd adjacent-pair swap sweep (deterministic-even then
+deterministic-odd alternation, the standard scheme that mixes a ladder in
+O(T^2) rather than O(T^3) swaps).  Ensembles of systems vmap once more; the
+cross-chip version distributes the *ensemble* axis (celeste_tpu.parallel),
+keeping each ladder chip-local so swaps never cross ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PTState(NamedTuple):
+    xs: jax.Array        # [T, D] replica positions (index 0 = cold)
+    logps: jax.Array     # [T] UNtempered log density at each replica
+    even_phase: jax.Array  # bool scalar: which swap parity this step
+
+
+class PTInfo(NamedTuple):
+    swap_accept: jax.Array   # [T-1] bool, adjacent-pair acceptances (padded)
+    logp_cold: jax.Array
+
+
+def pt_init(xs, logdensity_fn) -> PTState:
+    logps = jax.vmap(logdensity_fn)(xs)
+    return PTState(xs=xs, logps=logps, even_phase=jnp.bool_(True))
+
+
+def pt_kernel(logdensity_fn: Callable, inner_kernel_fn: Callable, betas):
+    """Build a tempered step.
+
+    ``inner_kernel_fn(beta)`` must return a ``(key, state)->(state, info)``
+    kernel targeting ``beta * logdensity`` (plus any beta-independent prior
+    terms the caller folds in); state must expose ``.x`` and ``.logp``
+    (MHState/SliceState/HMCState all qualify).
+    ``betas`` is the [T] inverse-temperature ladder, betas[0] == 1.
+    """
+    betas = jnp.asarray(betas, jnp.float32)
+    t = betas.shape[0]
+
+    def step(key, state: PTState):
+        k_move, k_swap = jax.random.split(key)
+
+        # (a) per-replica move at its own temperature
+        def move(beta, key_r, x):
+            kern = inner_kernel_fn(beta)
+            from_x = kern.init(x)
+            new, _ = kern.step(key_r, from_x)
+            return new.x, new.logp / jnp.maximum(beta, 1e-12)
+
+        keys = jax.random.split(k_move, t)
+        xs, logps = jax.vmap(move)(betas, keys, state.xs)
+
+        # (b) even/odd adjacent swap sweep
+        # pair i <-> i+1 for i in the active parity; accept with
+        # min(1, exp((beta_i - beta_{i+1}) * (logp_{i+1} - logp_i)))
+        i = jnp.arange(t - 1)
+        active = (i % 2 == 0) == state.even_phase
+        log_ratio = (betas[:-1] - betas[1:]) * (logps[1:] - logps[:-1])
+        u = jax.random.uniform(k_swap, (t - 1,))
+        accept = jnp.logical_and(active, jnp.log(u) < log_ratio)
+
+        # apply swaps via gather: build permutation
+        perm = jnp.arange(t)
+        # for accepted pair i: perm[i]=i+1, perm[i+1]=i  (pairs are disjoint
+        # within a parity class, so the updates never collide)
+        perm = perm.at[i].set(jnp.where(accept, i + 1, perm[i]))
+        perm = perm.at[i + 1].set(jnp.where(accept, i, perm[i + 1]))
+        xs = xs[perm]
+        logps = logps[perm]
+
+        new_state = PTState(xs=xs, logps=logps,
+                            even_phase=jnp.logical_not(state.even_phase))
+        return new_state, PTInfo(swap_accept=accept, logp_cold=logps[0])
+
+    return step
+
+
+class _KernelBundle(NamedTuple):
+    init: Callable
+    step: Callable
+
+
+def mh_at_beta(logdensity_fn, step_scales):
+    """Adapter: random-walk MH inner kernel family for pt_kernel."""
+    from celeste_tpu.inference.mh import MHState, mh_kernel
+
+    def factory(beta):
+        tempered = lambda x: beta * logdensity_fn(x)
+        kern = mh_kernel(tempered, step_scales)
+        init = lambda x: MHState(x=x, logp=tempered(x))
+        return _KernelBundle(init=init, step=kern)
+
+    return factory
+
+
+def slice_at_beta(logdensity_fn, widths, **kw):
+    """Adapter: slice-sampling inner kernel family (the reference's choice
+    for quasar photo-z, C15)."""
+    from celeste_tpu.inference.slice_ import SliceState, slice_kernel
+
+    def factory(beta):
+        tempered = lambda x: beta * logdensity_fn(x)
+        kern = slice_kernel(tempered, widths, **kw)
+        init = lambda x: SliceState(x=x, logp=tempered(x))
+        return _KernelBundle(init=init, step=kern)
+
+    return factory
+
+
+def geometric_ladder(n_temps: int, beta_min: float = 0.05):
+    """Standard geometric inverse-temperature ladder from 1 down to
+    beta_min."""
+    return jnp.asarray(
+        jnp.geomspace(1.0, beta_min, n_temps), jnp.float32
+    )

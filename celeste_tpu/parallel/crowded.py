@@ -1,0 +1,175 @@
+"""Crowded-field joint inference (SURVEY.md §5.7, BASELINE config 5: 10+
+overlapping sources, 1024 chains sharded over a slice).
+
+This is the framework's sequence-parallel analog: the additive structure of
+the expected image — lambda(m) = sky(m) + sum_s lambda_s(m) — lets the
+source catalog shard across a mesh axis.  Each device renders the partial
+lambda of ITS sources for a chain block, a ``psum`` over the ``sources``
+axis assembles the full lambda, and the Poisson reduction happens after the
+collective (the log nonlinearity must see the complete sum; SURVEY.md §7
+M6 hard part).  Chains shard over the orthogonal ``chains`` axis and never
+communicate.
+
+Single-chip path: the scene flattens into ONE MoG field (concatenated
+per-source components) and reuses the fused kernel — no lambda ever
+materializes.  The sharded path materializes lambda per chain block only
+because it must cross ICI; tiling it block-sparsely is the planned
+optimization (§5.7 "block-sparse source->tile mapping").
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from celeste_tpu.kernels.mog_field import (
+    _field_planes,
+    mog_field_loglik,
+    stamp_pixel_data,
+)
+from celeste_tpu.likelihood.poisson import LAMBDA_MIN
+from celeste_tpu.model.params import GalaxyParams, StarParams
+from celeste_tpu.model.priors import SourcePriors
+
+STAR_D = lambda b: 2 + b
+GAL_D = lambda b: 6 + b
+
+
+@dataclass(frozen=True)
+class CrowdedScene:
+    """Static description of a multi-source problem on one stamp.
+
+    kinds: per-source 'star'/'galaxy' tuple (static — determines the flat
+    joint vector layout: sources packed in order, star blocks 2+B wide,
+    galaxy blocks 6+B wide).
+    """
+
+    kinds: Tuple[str, ...]
+    n_bands: int = 5
+
+    @property
+    def n_sources(self):
+        return len(self.kinds)
+
+    def block_slices(self):
+        out, off = [], 0
+        for k in self.kinds:
+            d = STAR_D(self.n_bands) if k == "star" else GAL_D(self.n_bands)
+            out.append((off, d, k))
+            off += d
+        return out, off
+
+    @property
+    def dim(self):
+        return self.block_slices()[1]
+
+    def unpack(self, vec):
+        """Joint [D_total] vector -> list of Star/GalaxyParams."""
+        blocks, _ = self.block_slices()
+        params = []
+        for off, d, kind in blocks:
+            v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
+            if kind == "star":
+                params.append(StarParams.from_vector(v, self.n_bands))
+            else:
+                params.append(GalaxyParams.from_vector(v, self.n_bands))
+        return params
+
+
+def scene_field_planes(scene: CrowdedScene, vec, stamp, band):
+    """Joint vector -> concatenated per-component planes over all sources
+    ([C_total] each)."""
+    blocks, _ = scene.block_slices()
+    planes = []
+    for off, d, kind in blocks:
+        v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
+        planes.append(_field_planes(v, stamp, band, kind, scene.n_bands))
+    return tuple(jnp.concatenate(parts, axis=-1) for parts in zip(*planes))
+
+
+def make_crowded_logdensity(scene: CrowdedScene, stamps: Sequence, bands: Sequence[int],
+                            priors: SourcePriors | None = None):
+    """Single-chip joint log density over the flat [D_total] vector, running
+    the whole scene through the fused kernel path (or jnp off-TPU)."""
+    priors = priors or SourcePriors()
+    stamps = list(stamps)
+    bands = list(bands)
+    pixel_data = [stamp_pixel_data(s) for s in stamps]
+
+    def logdensity(vec):
+        ll = 0.0
+        for stamp, band, pd in zip(stamps, bands, pixel_data):
+            planes = scene_field_planes(scene, vec, stamp, band)
+            planes_b = tuple(p[None, :] for p in planes)
+            ll = ll + mog_field_loglik(*planes_b, pd, impl="jnp")[0]
+        blocks, _ = scene.block_slices()
+        for (off, d, kind), params in zip(blocks, scene.unpack(vec)):
+            v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
+            if kind == "star":
+                ll = ll + priors.star_logpdf(params)
+                ll = ll + StarParams.log_det_jacobian(v, scene.n_bands)
+            else:
+                ll = ll + priors.galaxy_logpdf(params)
+                ll = ll + GalaxyParams.log_det_jacobian(v, scene.n_bands)
+        return ll
+
+    return logdensity
+
+
+def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
+                           *, n_bands: int | None = None):
+    """Build the cross-chip likelihood: chains sharded over ``chains``,
+    sources over ``sources``; per-device partial lambdas ``psum``'d over the
+    source axis before the Poisson reduction.
+
+    Returns ``f(vecs [B, S, D_s]) -> [B]`` (requires uniform source kind so
+    the per-source vector width is rectangular; mixed scenes use the
+    single-chip path or pad to the galaxy width).
+    """
+    kinds = set(scene.kinds)
+    assert len(kinds) == 1, "sharded path requires uniform source kind"
+    kind = scene.kinds[0]
+    nb = n_bands or scene.n_bands
+    pd = stamp_pixel_data(stamp)
+    px, py, counts, sky, mask = pd
+    n_src = scene.n_sources
+    s_shard = mesh.shape["sources"]
+    assert n_src % s_shard == 0, f"{n_src} sources over {s_shard} shards"
+
+    def local_lambda(vecs_local, stamp_, pix):
+        """[B_loc, S_loc, D] -> partial lambda [B_loc, PIX] (no sky)."""
+        px_, py_ = pix
+
+        def chain_lambda(vs):
+            def one_source(v):
+                amp, mx, my, pa, pb, pc = _field_planes(v, stamp_, band, kind, nb)
+                dx = px_[0][None, :] - mx[:, None]
+                dy = py_[0][None, :] - my[:, None]
+                quad = (pa[:, None] * dx * dx + 2.0 * pb[:, None] * dx * dy
+                        + pc[:, None] * dy * dy)
+                return jnp.sum(amp[:, None] * jnp.exp(-0.5 * quad), axis=0)
+
+            return jnp.sum(jax.vmap(one_source)(vs), axis=0)
+
+        return jax.vmap(chain_lambda)(vecs_local)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("chains", "sources", None),),
+        out_specs=P("chains"),
+        check_vma=False,
+    )
+    def sharded_ll(vecs):
+        lam_part = local_lambda(vecs, stamp, (px, py))          # [B_loc, PIX]
+        lam = jax.lax.psum(lam_part, axis_name="sources") + sky
+        lam = jnp.maximum(lam, LAMBDA_MIN)
+        ll = (counts * jnp.log(lam) - lam) * mask
+        return jnp.sum(ll, axis=-1)
+
+    return sharded_ll

@@ -1,0 +1,69 @@
+"""Sharded chain ensembles (SURVEY.md §2.2 "DP row": 1024 vmapped chains
+sharded over ICI; BASELINE config 5's chain axis).
+
+The sampler kernels are already pure and vmapped; scaling them across chips
+is *sharding annotation only*: chain states get a ``NamedSharding`` over
+the ``chains`` mesh axis, the jitted update is identical, and XLA keeps
+every per-chain computation chip-local (no communication in the hot loop).
+Cross-chip communication happens only in ``ensemble_diagnostics`` — global
+R-hat/ESS/acceptance reductions — which XLA lowers to ``psum``-style
+collectives over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from celeste_tpu.inference.diagnostics import ess, split_rhat
+from celeste_tpu.inference.runner import run_chains
+
+
+def shard_chains(tree, mesh: Mesh):
+    """Place a chain-batched pytree ([n_chains, ...] leaves) on the mesh,
+    sharded along the leading axis."""
+    sharding = NamedSharding(mesh, P("chains"))
+
+    def place(x):
+        spec = P("chains") if jnp.ndim(x) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    del sharding
+    return jax.tree_util.tree_map(place, tree)
+
+
+def run_sharded_ensemble(key, kernel, init_states, n_steps: int, mesh: Mesh,
+                         thin: int = 1, collect=lambda s, i: s.x):
+    """Like ``run_chains_ensemble`` but with chain states sharded over the
+    mesh.  Compiles ONE program; XLA partitions the chain axis across
+    devices (each device advances its chains independently — ICI stays idle
+    in the hot loop, by construction)."""
+    n_chains = jax.tree_util.tree_leaves(init_states)[0].shape[0]
+    assert n_chains % mesh.devices.size == 0, (
+        f"n_chains={n_chains} must divide over {mesh.devices.size} devices"
+    )
+    init_states = shard_chains(init_states, mesh)
+    keys = jax.device_put(jax.random.split(key, n_chains),
+                          NamedSharding(mesh, P("chains")))
+
+    @jax.jit
+    def run(keys, states):
+        return jax.vmap(
+            lambda k, s: run_chains(k, kernel, s, n_steps, thin, collect)
+        )(keys, states)
+
+    return run(keys, init_states)
+
+
+def ensemble_diagnostics(samples, mesh: Mesh | None = None):
+    """Global convergence diagnostics over a (possibly sharded) sample
+    array [n_chains, n_steps, D].  The reductions are ordinary jnp; when
+    the input is sharded over ``chains`` XLA inserts the cross-chip
+    collectives (all-reduce of means/variances) automatically."""
+    return {
+        "rhat": split_rhat(samples),
+        "ess": ess(samples),
+        "mean": jnp.mean(samples, axis=(0, 1)),
+        "std": jnp.std(samples, axis=(0, 1)),
+    }

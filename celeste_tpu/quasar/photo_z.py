@@ -1,0 +1,125 @@
+"""Photometric-redshift posterior (SURVEY.md C15, BASELINE config 4: the
+reference's ``quasar_infer_photometry`` — slice sampling within parallel
+tempering over p(z, w, m | ugriz fluxes)).
+
+Parameterization (unconstrained [D = 1 + (K-1) + 1] vector):
+  zeta        -> z = z_max * sigmoid(zeta)          (+ log-Jacobian)
+  eta [K-1]   -> w = softmax([eta, 0])              (ALR, last coord pinned)
+  log_m       -> m = exp(log_m)                     (+ log-Jacobian)
+
+The z posterior is genuinely multimodal (continuum colors alias across
+redshift; Ly-alpha crossing bands creates distinct modes), hence the
+tempered ladder — vmapped, with even/odd ``ppermute``-style swaps
+(celeste_tpu.inference.tempering).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from celeste_tpu.inference.tempering import (
+    geometric_ladder,
+    pt_init,
+    pt_kernel,
+    slice_at_beta,
+)
+from celeste_tpu.quasar.basis import QuasarBasis
+from celeste_tpu.quasar.filters import FilterBank
+from celeste_tpu.quasar.photometry import project_to_bands
+
+
+@dataclass(frozen=True)
+class PhotoZConfig:
+    z_max: float = 6.0
+    log_m_mean: float = 0.0
+    log_m_std: float = 3.0
+    eta_std: float = 2.0
+    n_temps: int = 8
+    beta_min: float = 0.02
+    n_steps: int = 1500
+    n_warmup: int = 500
+    n_systems: int = 8        # independent tempering systems (vmapped)
+
+
+def split_vec(vec, n_basis: int):
+    zeta = vec[..., 0]
+    eta = vec[..., 1:n_basis]
+    log_m = vec[..., n_basis]
+    return zeta, eta, log_m
+
+
+def constrain(vec, n_basis: int, z_max: float):
+    zeta, eta, log_m = split_vec(vec, n_basis)
+    z = z_max * jax.nn.sigmoid(zeta)
+    w = jax.nn.softmax(jnp.concatenate([eta, jnp.zeros_like(eta[..., :1])], axis=-1))
+    m = jnp.exp(log_m)
+    return z, w, m
+
+
+def make_photo_z_logdensity(basis: QuasarBasis, filters: FilterBank,
+                            flux_obs, flux_err, cfg: PhotoZConfig = PhotoZConfig()):
+    """Unconstrained log posterior for one target's observed fluxes."""
+    flux_obs = jnp.asarray(flux_obs, jnp.float32)
+    flux_err = jnp.asarray(flux_err, jnp.float32)
+    k = basis.n_basis
+
+    def logdensity(vec):
+        zeta, eta, log_m = split_vec(vec, k)
+        z, w, m = constrain(vec, k, cfg.z_max)
+        model = project_to_bands(basis, filters, w, m, z)
+        resid = (flux_obs - model) / flux_err
+        ll = -0.5 * jnp.sum(resid * resid)
+        # priors: z flat on (0, z_max) -> sigmoid Jacobian; eta Gaussian
+        # (weakly-informative simplex smoothing); log_m Gaussian
+        ljd_z = jnp.log(jax.nn.sigmoid(zeta)) + jnp.log(jax.nn.sigmoid(-zeta))
+        lp_eta = -0.5 * jnp.sum((eta / cfg.eta_std) ** 2)
+        lp_m = -0.5 * ((log_m - cfg.log_m_mean) / cfg.log_m_std) ** 2
+        return ll + ljd_z + lp_eta + lp_m
+
+    return logdensity
+
+
+def run_photo_z(key, basis: QuasarBasis, filters: FilterBank, flux_obs, flux_err,
+                cfg: PhotoZConfig = PhotoZConfig()):
+    """Tempered slice-sampling ensemble (the reference's sampler family).
+
+    Returns dict with cold-chain samples of (z, w, m) and diagnostics.
+    Shapes: z [n_systems, n_kept]; w [n_systems, n_kept, K]; swap_rate [].
+    """
+    k = basis.n_basis
+    d = k + 1
+    logd = make_photo_z_logdensity(basis, filters, flux_obs, flux_err, cfg)
+
+    betas = geometric_ladder(cfg.n_temps, cfg.beta_min)
+    widths = jnp.full((d,), 1.0, jnp.float32)
+    inner = slice_at_beta(logd, widths)
+    kernel = pt_kernel(logd, inner, betas)
+
+    k_init, k_run = jax.random.split(key)
+    # init: spread zeta across the z range per replica/system
+    init_vecs = jax.random.normal(k_init, (cfg.n_systems, cfg.n_temps, d)) * jnp.asarray(
+        [2.0] + [1.0] * (k - 1) + [1.0], jnp.float32
+    )
+
+    def run_system(key_s, xs0):
+        state = pt_init(xs0, logd)
+
+        def step(s, key_t):
+            s, info = kernel(key_t, s)
+            return s, (s.xs[0], info.swap_accept)
+
+        keys = jax.random.split(key_s, cfg.n_steps)
+        state, (cold_xs, swaps) = jax.lax.scan(step, state, keys)
+        return cold_xs, swaps
+
+    keys = jax.random.split(k_run, cfg.n_systems)
+    cold_xs, swaps = jax.vmap(run_system)(keys, init_vecs)   # [S, T_steps, D]
+    kept = cold_xs[:, cfg.n_warmup:]
+    z, w, m = constrain(kept, k, cfg.z_max)
+    return {
+        "z": z, "w": w, "m": m, "vec": kept,
+        "swap_rate": jnp.mean(swaps.astype(jnp.float32)),
+    }

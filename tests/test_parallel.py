@@ -1,0 +1,173 @@
+"""Sharding/collectives tests on the virtual 8-device CPU mesh (SURVEY.md
+§4 item 4: shard_map code is identical from 1 to N devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+from celeste_tpu.inference import mh_init, mh_kernel
+from celeste_tpu.inference.gibbs import (
+    block_gibbs_kernel,
+    color_sources,
+    colored_gibbs_kernel,
+    gibbs_init,
+)
+from celeste_tpu.parallel import (
+    CrowdedScene,
+    chain_mesh,
+    make_crowded_logdensity,
+    make_mesh,
+    run_sharded_ensemble,
+    sharded_crowded_loglik,
+    ensemble_diagnostics,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def crowded_scene():
+    """4 stars in a 31x31 stamp, some overlapping."""
+    rng = np.random.default_rng(0)
+    srcs = []
+    offsets = [(-2.0, -1.5), (1.8, 1.2), (0.2, 2.2), (-1.4, 1.9)]  # arcsec
+    for i, (de, dn) in enumerate(offsets):
+        srcs.append(star_source(
+            u=(30.0 + de / 3600 / np.cos(np.deg2rad(10.0)), 10.0 + dn / 3600),
+            flux_r=20.0 + 8.0 * i,
+        ))
+    return make_synthetic_stamp(srcs, shape=(31, 31), bands=(2,), seed=21)
+
+
+def _joint_vec(scene_data, scene: CrowdedScene):
+    parts = []
+    for src in scene_data.sources:
+        du = scene_data.wcs.equa2duas(src["u"])
+        parts.append(np.concatenate([du, np.log(src["flux"])]))
+    return jnp.asarray(np.concatenate(parts), jnp.float32)
+
+
+def test_sharded_ensemble_matches_single(crowded_scene):
+    """The sharded chain ensemble produces identical results to the
+    unsharded vmap (same keys, same kernel) — sharding is annotation only."""
+    target = lambda x: -0.5 * jnp.sum(x * x)
+    kernel = mh_kernel(target, step_scales=jnp.full(3, 0.5))
+    x0 = jax.random.normal(jax.random.key(0), (16, 3))
+    init = jax.vmap(lambda x: mh_init(x, target))(x0)
+
+    mesh = chain_mesh()
+    key = jax.random.key(1)
+    s_sharded, _, _ = run_sharded_ensemble(key, kernel, init, n_steps=50, mesh=mesh)
+
+    from celeste_tpu.inference import run_chains_ensemble
+    s_plain, _, _ = run_chains_ensemble(key, kernel, init, n_steps=50)
+    np.testing.assert_allclose(np.asarray(s_sharded), np.asarray(s_plain), atol=1e-6)
+
+
+def test_crowded_logdensity_matches_sum_of_parts(crowded_scene):
+    """Joint scene loglik == expected_image-based dense computation."""
+    scene = CrowdedScene(kinds=("star",) * 4, n_bands=5)
+    logd = make_crowded_logdensity(scene, [crowded_scene.stamps[0]], bands=[2])
+    vec = _joint_vec(crowded_scene, scene)
+    val = float(logd(vec))
+    assert np.isfinite(val)
+
+    # dense check through the model layer
+    from celeste_tpu.likelihood import stamp_loglik
+    params = scene.unpack(vec)
+    want_ll = float(stamp_loglik(params, crowded_scene.stamps[0], band=2))
+    from celeste_tpu.model.priors import SourcePriors
+    pri = SourcePriors()
+    from celeste_tpu.model.params import StarParams
+    blocks, _ = scene.block_slices()
+    extra = sum(
+        float(pri.star_logpdf(p)) + float(StarParams.log_det_jacobian(
+            vec[off:off + d], 5))
+        for (off, d, k), p in zip(blocks, params)
+    )
+    assert abs(val - (want_ll + extra)) < 2.0, (val, want_ll + extra)
+
+
+def test_sharded_crowded_loglik_parity(crowded_scene):
+    """2x4 (chains x sources) mesh: psum-of-lambda sharded likelihood must
+    equal the single-device fused computation."""
+    scene = CrowdedScene(kinds=("star",) * 4, n_bands=5)
+    stamp = crowded_scene.stamps[0]
+    mesh = make_mesh({"chains": 2, "sources": 4})
+    f = sharded_crowded_loglik(scene, stamp, band=2, mesh=mesh)
+
+    vec = _joint_vec(crowded_scene, scene)
+    rng = np.random.default_rng(1)
+    vecs = np.asarray(vec).reshape(1, 4, 7) + 0.02 * rng.normal(size=(8, 4, 7))
+    vecs = jnp.asarray(vecs, jnp.float32)
+    with mesh:
+        got = np.asarray(jax.jit(f)(vecs))
+
+    logd = make_crowded_logdensity(scene, [stamp], bands=[2])
+    # strip priors: compare pure likelihoods -> rebuild via kernels path
+    from celeste_tpu.kernels.mog_field import mog_field_loglik, stamp_pixel_data
+    from celeste_tpu.parallel.crowded import scene_field_planes
+    pd = stamp_pixel_data(stamp)
+
+    def dense_one(v_joint):
+        planes = scene_field_planes(scene, v_joint, stamp, 2)
+        planes_b = tuple(p[None, :] for p in planes)
+        return mog_field_loglik(*planes_b, pd, impl="jnp")[0]
+
+    want = np.asarray(jax.vmap(lambda v: dense_one(v.reshape(-1)))(vecs))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=0.5)
+
+
+def test_gibbs_sweep_moves_all_blocks(crowded_scene):
+    scene = CrowdedScene(kinds=("star",) * 4, n_bands=5)
+    logd = make_crowded_logdensity(scene, [crowded_scene.stamps[0]], bands=[2])
+    vec = _joint_vec(crowded_scene, scene)
+    blocks = [(off, d) for off, d, _ in scene.block_slices()[0]]
+    scales = jnp.full(scene.dim, 0.01)
+    kern = block_gibbs_kernel(logd, blocks, scales)
+    state = gibbs_init(vec, logd)
+
+    def run(key, s):
+        def body(s, k):
+            s, info = kern(k, s)
+            return s, info.accepted
+        return jax.lax.scan(body, s, jax.random.split(key, 100))
+
+    state2, acc = jax.jit(run)(jax.random.key(0), state)
+    rate = np.asarray(acc, np.float64).mean(axis=0)
+    assert np.all(rate > 0.05), rate  # every source block mixes
+    assert float(state2.logp) >= float(state.logp) - 50.0
+
+
+def test_colored_gibbs(crowded_scene):
+    scene = CrowdedScene(kinds=("star",) * 4, n_bands=5)
+    logd = make_crowded_logdensity(scene, [crowded_scene.stamps[0]], bands=[2])
+    vec = _joint_vec(crowded_scene, scene)
+    pos = np.stack([scene_du for scene_du in
+                    [crowded_scene.wcs.equa2duas(s["u"]) for s in crowded_scene.sources]])
+    colors = color_sources(pos, radius=3.0)
+    assert colors.max() >= 1  # overlapping sources got split into classes
+    blocks = [(off, d) for off, d, _ in scene.block_slices()[0]]
+    kern = colored_gibbs_kernel(logd, blocks, colors, jnp.full(scene.dim, 0.01))
+    state = gibbs_init(vec, logd)
+    def run(key, s):
+        def body(s, k):
+            s, info = kern(k, s)
+            return s, info.accepted
+        return jax.lax.scan(body, s, jax.random.split(key, 60))
+    state2, acc = jax.jit(run)(jax.random.key(3), state)
+    assert np.asarray(acc, np.float64).mean() > 0.05
+
+
+def test_ensemble_diagnostics_sharded(crowded_scene):
+    mesh = chain_mesh()
+    samples = jax.random.normal(jax.random.key(0), (16, 200, 3))
+    from celeste_tpu.parallel.ensemble import shard_chains
+    sharded = shard_chains(samples, mesh)
+    d = ensemble_diagnostics(sharded, mesh)
+    assert np.all(np.asarray(d["rhat"]) < 1.05)
+    assert np.all(np.asarray(d["ess"]) > 1000)

@@ -1,0 +1,105 @@
+"""Quasar SED subsystem tests (SURVEY.md C13-C15, BASELINE config 4):
+basis fit recovery, filter projection physics, and photo-z posterior
+recovery on synthetic targets."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from celeste_tpu.quasar import (
+    FilterBank,
+    PhotoZConfig,
+    fit_basis,
+    make_photo_z_logdensity,
+    project_to_bands,
+    run_photo_z,
+    sdss_like_filterbank,
+    synthetic_quasar_spectra,
+    synthetic_template_basis,
+)
+
+
+@pytest.fixture(scope="module")
+def basis():
+    return synthetic_template_basis(n_grid=512)
+
+
+@pytest.fixture(scope="module")
+def filters():
+    return sdss_like_filterbank(n_pts=64)
+
+
+def test_filterbank_normalization(filters):
+    w = np.asarray(filters.resp * filters.lam * filters.dlam).sum(axis=1)
+    np.testing.assert_allclose(w, 1.0, rtol=1e-5)
+
+
+def test_projection_flat_spectrum(filters):
+    """A flat f(lam)=const SED must give equal flux in every band (the
+    photon-counting normalization makes band flux = weighted mean of f).
+    Needs a rest grid covering the reddest filter tail at z=0."""
+    wide = synthetic_template_basis(n_grid=512, lam_max=1100.0)
+    flat = wide._replace(b=jnp.ones_like(wide.b))
+    flux = project_to_bands(flat, filters, jnp.asarray([1.0, 0, 0, 0]), 1.0, 0.0)
+    np.testing.assert_allclose(np.asarray(flux), np.asarray(flux)[0], rtol=1e-4)
+
+
+def test_projection_redshift_lyman_break(filters, basis):
+    """The Lyman break must sweep through the bands with redshift: u-band
+    flux collapses by orders of magnitude between z=2 and z=3 (break
+    crossing u), and g/r drops from z=2 to z=3.5 (break entering g)."""
+    w = jnp.asarray([0.0, 0.0, 1.0, 0.0])   # strong-line template
+    f20 = np.asarray(project_to_bands(basis, filters, w, 1.0, 2.0))
+    f30 = np.asarray(project_to_bands(basis, filters, w, 1.0, 3.0))
+    f35 = np.asarray(project_to_bands(basis, filters, w, 1.0, 3.5))
+    assert f20[0] / f30[0] > 100.0
+    assert f20[1] / f20[2] > f35[1] / f35[2]
+
+
+def test_basis_fit_recovers_subspace(basis):
+    """Fit on synthetic spectra: the fitted basis must reconstruct held-out
+    spectra to within ~2x the noise level."""
+    spectra, ivar, w_true, m_true = synthetic_quasar_spectra(64, basis, seed=1, snr=30.0)
+    fitted, losses = fit_basis(spectra, ivar, basis.lam_rest, n_basis=4,
+                               n_steps=1200, seed=0)
+    assert float(losses[-1]) < float(losses[10])  # optimization progressed
+    # reconstruct each training spectrum with nonneg least squares on the
+    # fitted basis (solve via normal equations with ridge, clip)
+    b = np.asarray(fitted.b)
+    s = np.asarray(spectra)
+    coef, *_ = np.linalg.lstsq(b.T, s.T, rcond=None)
+    recon = (b.T @ coef).T
+    resid = s - recon
+    noise = 1.0 / np.sqrt(np.asarray(ivar))
+    chi = np.abs(resid) / noise
+    assert np.mean(chi) < 2.0, float(np.mean(chi))
+
+
+def test_photo_z_recovers_redshift(basis, filters):
+    """End-to-end config 4: generate fluxes at a known z, run the tempered
+    sampler, require the posterior to put substantial mass near z_true."""
+    rng = np.random.default_rng(3)
+    z_true = 2.4
+    w_true = jnp.asarray([0.15, 0.1, 0.65, 0.1])
+    m_true = 2.0
+    flux_clean = project_to_bands(basis, filters, w_true, m_true, z_true)
+    err = 0.03 * np.abs(np.asarray(flux_clean)) + 1e-5
+    flux_obs = np.asarray(flux_clean) + rng.normal(size=5) * err
+
+    cfg = PhotoZConfig(n_temps=6, n_steps=600, n_warmup=200, n_systems=6)
+    out = run_photo_z(jax.random.key(0), basis, filters, flux_obs, err, cfg)
+    z = np.asarray(out["z"]).ravel()
+    frac_near = np.mean(np.abs(z - z_true) < 0.25)
+    assert frac_near > 0.3, (frac_near, np.percentile(z, [5, 25, 50, 75, 95]))
+    assert float(out["swap_rate"]) > 0.05
+
+
+def test_photo_z_logdensity_finite_and_differentiable(basis, filters):
+    logd = make_photo_z_logdensity(basis, filters,
+                                   jnp.asarray([1.0, 2.0, 3.0, 3.5, 4.0]) * 1e-3,
+                                   jnp.full(5, 1e-4))
+    vec = jnp.zeros(5)
+    val, grad = jax.value_and_grad(logd)(vec)
+    assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(grad)))
