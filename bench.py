@@ -1,0 +1,116 @@
+"""Round benchmark — prints ONE JSON line (driver contract).
+
+Headline metric (BASELINE.json): single-stamp likelihood evals/sec/chip on
+the fused path, measured at B=65536 chains on one SDSS-like 25x25 r-band
+stamp.  ``vs_baseline`` is the speedup over the measured NumPy-oracle rate
+standing in for the unreadable reference (BASELINE.md: 1.06e4 evals/s on
+this VM's CPU, measured 2026-08-16 via the commands recorded there).
+
+Secondary fields in the same JSON object: ESS/sec of the NUTS chain
+ensemble on a 6-star crowded field (D=18) and its ratio to the measured
+oracle slice-sampler ESS/sec on the same posterior (the >=100x north-star).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+ORACLE_EVAL_RATE = 1.06e4        # evals/s, NumPy oracle, this VM (BASELINE.md)
+ORACLE_CROWDED_ESS_RATE = None   # filled from BASELINE.md measurement below
+
+
+def _bench_evals_per_sec():
+    from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+    from celeste_tpu.kernels import batched_stamp_loglik
+
+    src = star_source(u=(30.0001, 9.9999), flux_r=25.0)
+    scene = make_synthetic_stamp([src], shape=(25, 25), bands=(2,), seed=3)
+    stamp = scene.stamps[0]
+    du = scene.wcs.equa2duas(src["u"])
+    base = np.concatenate([du, np.log(src["flux"])]).astype(np.float32)
+    rng = np.random.default_rng(0)
+    n = 65536
+    vecs = jnp.asarray(base[None, :] + 0.05 * rng.normal(size=(n, 7)), jnp.float32)
+
+    best = 0.0
+    for impl in ("pallas", "jnp"):
+        f = jax.jit(lambda v, impl=impl: batched_stamp_loglik(
+            v, stamp, band=2, kind="star", impl=impl))
+        f(vecs).block_until_ready()
+        iters = 30
+        t = time.time()
+        for _ in range(iters):
+            out = f(vecs)
+        out.block_until_ready()
+        rate = n * iters / (time.time() - t)
+        print(f"# evals/sec impl={impl}: {rate:.3e}", file=sys.stderr)
+        best = max(best, rate)
+    return best
+
+
+def _bench_ess_per_sec():
+    """NUTS ensemble ESS/sec on the 6-star crowded field (n_bands=1 ->
+    D=18, matching the oracle measurement in BASELINE.md)."""
+    from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+    from celeste_tpu.inference import hmc_init, nuts_kernel, run_chains_ensemble
+    from celeste_tpu.inference.diagnostics import ess
+    from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
+
+    offs = [(-3, -2), (2.5, 1.5), (0, 2.5), (-2, 2), (3, -2.5), (0.5, -1)]
+    srcs = [star_source(u=(30 + de / 3600 / np.cos(np.deg2rad(10)), 10 + dn / 3600),
+                        flux_r=15 + 6 * i)
+            for i, (de, dn) in enumerate(offs)]
+    scene = make_synthetic_stamp(srcs, shape=(41, 41), bands=(2,), seed=31)
+    cs = CrowdedScene(kinds=("star",) * 6, n_bands=1)
+    logd = make_crowded_logdensity(cs, [scene.stamps[0]], bands=[0])
+    vec = jnp.asarray(np.concatenate(
+        [np.concatenate([scene.wcs.equa2duas(s["u"]), [np.log(s["flux"][2])]])
+         for s in srcs]), jnp.float32)
+
+    n_chains = 256
+    n_steps = 200
+    key = jax.random.key(0)
+    x0 = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(1), (n_chains, 18))
+    kern = nuts_kernel(logd, step_size=0.004, inv_mass=jnp.full(18, 2e-5), max_depth=6)
+    init = jax.vmap(lambda x: hmc_init(x, logd))(x0)
+
+    # compile once (untimed), then time the run
+    run = jax.jit(lambda k, s: run_chains_ensemble(k, kern, s, n_steps=n_steps))
+    samples, _, _ = run(key, init)
+    samples.block_until_ready()
+    t = time.time()
+    samples, _, info = run(jax.random.key(2), init)
+    samples.block_until_ready()
+    dt = time.time() - t
+    kept = samples[:, n_steps // 4:]
+    e = np.asarray(ess(kept))
+    rate_min = float(e.min() / dt)
+    rate_med = float(np.median(e) / dt)
+    print(f"# crowded NUTS: {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
+          f"median {rate_med:.1f}, divergence frac "
+          f"{float(jnp.mean(info.diverged.astype(jnp.float32))):.4f}", file=sys.stderr)
+    return rate_min
+
+
+def main():
+    evals_rate = _bench_evals_per_sec()
+    ess_rate = _bench_ess_per_sec()
+    oracle_crowded = 6.0  # min ESS/sec, oracle slice, 6-star field (BASELINE.md)
+    print(json.dumps({
+        "metric": "single-stamp likelihood evals/sec/chip",
+        "value": evals_rate,
+        "unit": "evals/s",
+        "vs_baseline": evals_rate / ORACLE_EVAL_RATE,
+        "ess_per_sec_crowded": ess_rate,
+        "ess_vs_oracle": ess_rate / oracle_crowded,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Experiment configs + runners (SURVEY.md C17/§5.6; the reference's
+ad-hoc experiment scripts become a config registry + one CLI).
+
+Every BASELINE.json eval config is a named entry here:
+
+  star_single    — config 1: r-band point source, MH over (pos, flux)
+  star_ugriz     — config 2: ugriz + color priors, slice AND HMC (parity)
+  galaxy         — config 3: exp/deV galaxy with shape params (NUTS)
+  quasar_photoz  — config 4: photometric-redshift posterior (tempered)
+  crowded_field  — config 5: joint multi-source field, chain ensemble
+
+Run:  python -m celeste_tpu.run config=star_single n_chains=64 n_steps=2000
+Flat ``key=value`` overrides are parsed onto the dataclass (ints, floats,
+strings, bools auto-coerced).  Results go to ``--out`` as .npz + JSONL
+metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class ExperimentConfig:
+    name: str = "star_single"
+    sampler: str = "nuts"          # mh | slice | hmc | nuts | tempered_slice
+    n_chains: int = 64
+    n_steps: int = 1000
+    n_warmup: int = 300
+    thin: int = 1
+    seed: int = 0
+    # scene
+    shape: tuple = (25, 25)
+    flux_r: float = 30.0
+    n_sources: int = 1
+    bands: tuple = (2,)
+    # sampler knobs
+    step_size: float = 0.0         # 0 = auto (warmup adaptation)
+    max_depth: int = 6
+    n_leapfrog: int = 16
+    # quasar
+    n_temps: int = 8
+    z_max: float = 6.0
+    # io
+    out: str = ""
+    checkpoint_every: int = 0
+    resume: str = ""
+
+
+def _coerce(val: str, target_type):
+    if target_type is bool:
+        return val.lower() in ("1", "true", "yes")
+    if target_type is tuple:
+        return tuple(int(x) for x in val.strip("()").split(",") if x)
+    try:
+        return target_type(val)
+    except (TypeError, ValueError):
+        return val
+
+
+def parse_overrides(cfg: ExperimentConfig, argv):
+    fields = {f.name: f.type for f in dataclasses.fields(cfg)}
+    for arg in argv:
+        if "=" not in arg:
+            raise SystemExit(f"override must be key=value, got {arg!r}")
+        k, v = arg.split("=", 1)
+        if k == "config":
+            continue
+        if k not in fields:
+            raise SystemExit(f"unknown config key {k!r}; known: {sorted(fields)}")
+        current = getattr(cfg, k)
+        t = type(current) if current is not None else str
+        setattr(cfg, k, _coerce(v, t))
+    return cfg
+
+
+CONFIGS = {
+    "star_single": ExperimentConfig(name="star_single", sampler="mh", n_chains=64,
+                                    n_steps=3000, bands=(2,)),
+    "star_ugriz": ExperimentConfig(name="star_ugriz", sampler="hmc", n_chains=32,
+                                   n_steps=1000, bands=(0, 1, 2, 3, 4)),
+    "galaxy": ExperimentConfig(name="galaxy", sampler="nuts", n_chains=32,
+                               n_steps=800, shape=(31, 31), flux_r=60.0,
+                               bands=(2,)),
+    "quasar_photoz": ExperimentConfig(name="quasar_photoz", sampler="tempered_slice",
+                                      n_chains=8, n_steps=1500, n_warmup=500),
+    "crowded_field": ExperimentConfig(name="crowded_field", sampler="nuts",
+                                      n_chains=256, n_steps=500, shape=(41, 41),
+                                      n_sources=10, bands=(2,)),
+}
+
+
+# ---------------------------------------------------------------------------
+# runners
+# ---------------------------------------------------------------------------
+
+def _star_problem(cfg: ExperimentConfig):
+    from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+    from celeste_tpu.inference.problems import make_star_logdensity
+    from celeste_tpu.model.priors import FluxPrior, SourcePriors
+
+    src = star_source(u=(30.00005, 10.00008), flux_r=cfg.flux_r)
+    scene = make_synthetic_stamp([src], shape=cfg.shape, bands=cfg.bands, seed=cfg.seed)
+    nb = len(cfg.bands)
+    priors = SourcePriors(flux=FluxPrior(log_ref_mean=float(np.log(cfg.flux_r)),
+                                         log_ref_std=2.0))
+    if nb == 1:
+        logd = make_star_logdensity(scene.stamps, bands=[0], priors=priors, n_bands=1)
+        flux = [src["flux"][cfg.bands[0]]]
+    else:
+        logd = make_star_logdensity(scene.stamps, bands=list(cfg.bands), priors=priors,
+                                    n_bands=nb)
+        flux = [src["flux"][b] for b in cfg.bands]
+    du = scene.wcs.equa2duas(src["u"])
+    x0 = np.concatenate([du, np.log(flux)]).astype(np.float32)
+    return scene, logd, x0
+
+
+def _galaxy_problem(cfg: ExperimentConfig):
+    from celeste_tpu.data.synthetic import galaxy_source, make_synthetic_stamp
+    from celeste_tpu.inference.problems import make_galaxy_logdensity
+    from celeste_tpu.model.priors import FluxPrior, SourcePriors
+
+    src = galaxy_source(u=(30.0, 10.0), flux_r=cfg.flux_r)
+    scene = make_synthetic_stamp([src], shape=cfg.shape, bands=cfg.bands, seed=cfg.seed)
+    nb = len(cfg.bands)
+    priors = SourcePriors(flux=FluxPrior(log_ref_mean=float(np.log(cfg.flux_r)),
+                                         log_ref_std=2.0))
+    bands = [0] if nb == 1 else list(cfg.bands)
+    logd = make_galaxy_logdensity(scene.stamps, bands=bands, priors=priors, n_bands=nb)
+    du = scene.wcs.equa2duas(src["u"])
+    flux = [src["flux"][b] for b in cfg.bands]
+    t = src["theta_dev"]
+    x0 = np.concatenate([
+        du, np.log(flux),
+        [np.log(t / (1 - t)), np.log(src["sigma"]),
+         np.log(src["ab"] / (1 - src["ab"])), src["phi"]],
+    ]).astype(np.float32)
+    return scene, logd, x0
+
+
+def _crowded_problem(cfg: ExperimentConfig):
+    from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+    from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
+
+    rng = np.random.default_rng(cfg.seed)
+    half = cfg.shape[0] * 0.396 / 2.0 - 2.0
+    srcs = []
+    for i in range(cfg.n_sources):
+        de, dn = rng.uniform(-half, half, 2)
+        srcs.append(star_source(
+            u=(30 + de / 3600 / np.cos(np.deg2rad(10)), 10 + dn / 3600),
+            flux_r=cfg.flux_r * rng.uniform(0.5, 2.0)))
+    scene = make_synthetic_stamp(srcs, shape=cfg.shape, bands=cfg.bands, seed=cfg.seed)
+    cs = CrowdedScene(kinds=("star",) * cfg.n_sources, n_bands=1)
+    logd = make_crowded_logdensity(cs, [scene.stamps[0]], bands=[0])
+    x0 = np.concatenate([
+        np.concatenate([scene.wcs.equa2duas(s["u"]), [np.log(s["flux"][cfg.bands[0]])]])
+        for s in srcs]).astype(np.float32)
+    return scene, logd, x0
+
+
+def run_experiment(cfg: ExperimentConfig):
+    """Execute one experiment; returns a results dict (also written to
+    cfg.out if set)."""
+    from celeste_tpu.inference import (
+        hmc_init, hmc_kernel, hmc_warmup, mh_init, mh_kernel, nuts_kernel,
+        run_chains_ensemble, slice_init, slice_kernel, summarize,
+    )
+    from celeste_tpu.utils.metrics import MetricsLogger
+
+    logger = MetricsLogger(cfg.out + ".metrics.jsonl" if cfg.out else None)
+    logger.log("start", config=dataclasses.asdict(cfg) | {"backend": jax.default_backend()})
+
+    if cfg.name == "quasar_photoz":
+        from celeste_tpu.quasar import (PhotoZConfig, project_to_bands, run_photo_z,
+                                        sdss_like_filterbank, synthetic_template_basis)
+        basis = synthetic_template_basis()
+        filters = sdss_like_filterbank()
+        rng = np.random.default_rng(cfg.seed)
+        z_true = rng.uniform(0.5, 4.0)
+        w_true = jnp.asarray(rng.dirichlet(np.full(basis.n_basis, 0.7)), jnp.float32)
+        flux = project_to_bands(basis, filters, w_true, 2.0, z_true)
+        err = 0.04 * np.abs(np.asarray(flux)) + 1e-5
+        obs = np.asarray(flux) + rng.normal(size=5) * err
+        pz = PhotoZConfig(n_temps=cfg.n_temps, n_steps=cfg.n_steps,
+                          n_warmup=cfg.n_warmup, n_systems=cfg.n_chains,
+                          z_max=cfg.z_max)
+        out = run_photo_z(jax.random.key(cfg.seed), basis, filters, obs, err, pz)
+        result = {"z": np.asarray(out["z"]), "z_true": z_true,
+                  "swap_rate": float(out["swap_rate"])}
+        logger.log("done", z_true=z_true, z_median=float(np.median(result["z"])),
+                   swap_rate=result["swap_rate"])
+        if cfg.out:
+            np.savez(cfg.out, **result)
+        return result
+
+    problem = {
+        "star_single": _star_problem, "star_ugriz": _star_problem,
+        "galaxy": _galaxy_problem, "crowded_field": _crowded_problem,
+    }[cfg.name]
+    scene, logd, x0 = problem(cfg)
+    d = x0.shape[0]
+    key = jax.random.key(cfg.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x0b = jnp.asarray(x0)[None, :] + 0.01 * jax.random.normal(k1, (cfg.n_chains, d))
+
+    if cfg.sampler == "mh":
+        kern = mh_kernel(logd, step_scales=jnp.full(d, 0.01))
+        init = jax.vmap(lambda x: mh_init(x, logd))(x0b)
+    elif cfg.sampler == "slice":
+        kern = slice_kernel(logd, widths=jnp.full(d, 0.05))
+        init = jax.vmap(lambda x: slice_init(x, logd))(x0b)
+    else:
+        states, ss, im = jax.vmap(
+            lambda k, x: hmc_warmup(k, logd, x, n_warmup=cfg.n_warmup,
+                                    n_leapfrog=cfg.n_leapfrog)
+        )(jax.random.split(k2, cfg.n_chains), x0b)
+        step_size = cfg.step_size or float(jnp.median(ss))
+        inv_mass = jnp.mean(im, axis=0)
+        logger.log("warmup", step_size=step_size)
+        if cfg.sampler == "hmc":
+            kern = hmc_kernel(logd, step_size, inv_mass, n_leapfrog=cfg.n_leapfrog)
+        else:
+            kern = nuts_kernel(logd, step_size, inv_mass, max_depth=cfg.max_depth)
+        init = states
+
+    samples, final, info = run_chains_ensemble(k3, kern, init, n_steps=cfg.n_steps,
+                                               thin=cfg.thin)
+    kept = samples[:, cfg.n_steps // (4 * cfg.thin):]
+    summ = summarize(kept)
+    logger.log("done", rhat_max=float(jnp.max(summ["rhat"])),
+               ess_min=float(jnp.min(summ["ess"])),
+               mean=summ["mean"], std=summ["std"])
+    result = {"samples": np.asarray(samples), "x0": x0,
+              "mean": np.asarray(summ["mean"]), "std": np.asarray(summ["std"]),
+              "rhat": np.asarray(summ["rhat"]), "ess": np.asarray(summ["ess"])}
+    if cfg.out:
+        np.savez(cfg.out, **result)
+    return result
