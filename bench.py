@@ -76,8 +76,19 @@ def _bench_ess_per_sec():
     n_steps = 200
     key = jax.random.key(0)
     x0 = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(1), (n_chains, 18))
-    kern = nuts_kernel(logd, step_size=0.004, inv_mass=jnp.full(18, 2e-5), max_depth=6)
-    init = jax.vmap(lambda x: hmc_init(x, logd))(x0)
+
+    # adapt step size + diagonal mass (vmapped dual-averaging warmup);
+    # with the mass preconditioner the dimensionless step lands ~0.5
+    from celeste_tpu.inference import hmc_warmup
+    states, ss, im = jax.jit(jax.vmap(
+        lambda k, x: hmc_warmup(k, logd, x, n_warmup=200, n_leapfrog=8)
+    ))(jax.random.split(jax.random.key(3), n_chains), x0)
+    jax.block_until_ready(states)
+    step_size = float(jnp.median(ss))
+    inv_mass = jnp.mean(im, axis=0)
+    print(f"# crowded warmup: step_size={step_size:.4f}", file=sys.stderr)
+    kern = nuts_kernel(logd, step_size=step_size, inv_mass=inv_mass, max_depth=6)
+    init = states
 
     # compile once (untimed), then time the run
     run = jax.jit(lambda k, s: run_chains_ensemble(k, kern, s, n_steps=n_steps))

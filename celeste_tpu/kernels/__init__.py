@@ -10,3 +10,7 @@ from celeste_tpu.kernels.mog_field import (  # noqa: F401
     stamp_pixel_data,
     batched_stamp_loglik,
 )
+from celeste_tpu.kernels.mog_field_sep import (  # noqa: F401
+    mog_field_loglik_isotropic,
+    stamp_pixel_data_2d,
+)

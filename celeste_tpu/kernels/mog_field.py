@@ -256,7 +256,32 @@ def batched_stamp_loglik(vecs, stamp, band=0, kind: str = "star", n_bands: int =
     against one stamp.  The [B, C] parameter preparation is vmapped jnp
     (tiny); the [B, PIX] work runs in the Pallas kernel.  Differentiable
     (custom VJP).  This is the function the production samplers and the
-    evals/sec benchmark drive."""
+    evals/sec benchmark drive.
+
+    ``impl``: 'pallas' (general fused kernel), 'jnp' (dense XLA path), or
+    'pallas_sep' (separable isotropic specialization — fewer
+    transcendentals but lane-padded to 128 on small stamps; measured
+    SLOWER than the flat-pixel general kernel for 25x25 stamps, see
+    mog_field_sep.py docstring — kept for wide stamps where W ~ 128).
+    """
+    if kind == "star" and impl == "pallas_sep":
+        from celeste_tpu.kernels.mog_field_sep import (
+            mog_field_loglik_isotropic,
+            psf_is_isotropic,
+            stamp_pixel_data_2d,
+            star_planes_isotropic,
+        )
+        try:
+            isotropic = psf_is_isotropic(stamp.psf)
+        except Exception:        # traced PSF (stamp passed through jit args)
+            isotropic = False
+        if isotropic:
+            planes = jax.vmap(
+                lambda v: star_planes_isotropic(v, stamp, band, n_bands))(vecs)
+            return mog_field_loglik_isotropic(*planes, stamp_pixel_data_2d(stamp))
+        impl = "pallas"  # non-isotropic PSF: fall through to general
+    if impl == "pallas_general":
+        impl = "pallas"
     planes = jax.vmap(lambda v: _field_planes(v, stamp, band, kind, n_bands))(vecs)
     if pixel_data is None:
         pixel_data = stamp_pixel_data(stamp)
