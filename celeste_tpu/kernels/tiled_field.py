@@ -1,0 +1,241 @@
+"""Tiled block-sparse field likelihood kernel (SURVEY.md §5.7 — the
+crowded-field hot path; BASELINE config 5 at production field sizes).
+
+The dense kernel (mog_field.py) evaluates EVERY source's components on
+EVERY pixel — O(S * P) per chain, fine for stamps, quadratic waste for a
+large field where each source touches a tiny patch.  This kernel restores
+the reference's bounded-support optimization (its per-source bounded-stamp
+rendering, SURVEY.md §3.1) in TPU form:
+
+- the field is tiled into (8, 128) VPU-shaped tiles, flattened tile-major
+  (parallel/tiles.py);
+- a host-built tile->source index table (scalar-prefetched, SMEM) lists at
+  most S_MAX sources per tile, the sentinel index selecting a
+  zero-amplitude padding slot;
+- grid = (tiles, chain-blocks); each program gathers its tile's source
+  component planes by dynamic slice, evaluates S_MAX * C Gaussians on
+  (B_TILE, 1024) pixels, and reduces the tile's Poisson partial in
+  register;
+- per-tile partials land in an [n_tiles, B] output summed by XLA (a [T, B]
+  reduction, negligible).
+
+Work per chain: S_MAX * C * PIX instead of S * C * PIX -> the win is
+S / S_MAX (measured 10-30x for realistic crowding; see
+tests/test_tiled_field.py and scripts/tpu_tiled_bench.py).
+Gradients: custom VJP, backward = autodiff of the dense jnp math
+restricted to the same tile truncation (identical function).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from celeste_tpu.likelihood.poisson import LAMBDA_MIN
+from celeste_tpu.parallel.tiles import PIX_PER_TILE, TileMap, tile_field_arrays, tile_pixel_coords
+
+DEFAULT_B_TILE = 128
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_axis(x, n, axis, value=0.0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _tiled_kernel(idx_ref,                   # [T, S_MAX] scalar-prefetch SMEM
+                  amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,  # [B_t, (S+1)*C]
+                  px_ref, py_ref, counts_ref, sky_ref, mask_ref,    # [1, 1, PIX]
+                  out_ref,                   # [1, 1, B_t]
+                  *, n_comp: int, s_max: int):
+    t = pl.program_id(0)
+    px = px_ref[0]                           # [1, PIX]
+    py = py_ref[0]
+    b_t = amp_ref.shape[0]
+    lam = jnp.broadcast_to(sky_ref[0], (b_t, px.shape[1])).astype(jnp.float32)
+    for s in range(s_max):
+        src = idx_ref[t, s]
+        col0 = src * n_comp
+        amp = amp_ref[:, pl.ds(col0, n_comp)]
+        mx = mx_ref[:, pl.ds(col0, n_comp)]
+        my = my_ref[:, pl.ds(col0, n_comp)]
+        pa = pa_ref[:, pl.ds(col0, n_comp)]
+        pb = pb_ref[:, pl.ds(col0, n_comp)]
+        pc = pc_ref[:, pl.ds(col0, n_comp)]
+        for c in range(n_comp):
+            dx = px - mx[:, c:c + 1]
+            dy = py - my[:, c:c + 1]
+            quad = (pa[:, c:c + 1] * dx * dx + 2.0 * pb[:, c:c + 1] * dx * dy
+                    + pc[:, c:c + 1] * dy * dy)
+            lam = lam + amp[:, c:c + 1] * jnp.exp(-0.5 * quad)
+    lam = jnp.maximum(lam, LAMBDA_MIN)
+    ll = (counts_ref[0] * jnp.log(lam) - lam) * mask_ref[0]
+    out_ref[0, 0, :] = jnp.sum(ll, axis=1)
+
+
+def _tiled_jnp(planes, tile_src, pixel_tiles, n_comp):
+    """Dense jnp mirror with the SAME tile truncation (backward path and
+    CPU check).  planes: 6 x [B, (S+1)*C]; tile_src [T, S_MAX];
+    pixel_tiles: 5 x [T, PIX]."""
+    amp, mx, my, pa, pb, pc = planes
+    px, py, counts, sky, mask = pixel_tiles
+    b = amp.shape[0]
+
+    def tile_ll(t_idx, t_px, t_py, t_counts, t_sky, t_mask):
+        cols = (t_idx[:, None] * n_comp + jnp.arange(n_comp)[None, :]).reshape(-1)
+
+        def chain(ampr, mxr, myr, par, pbr, pcr):
+            a = ampr[cols]
+            dx = t_px[None, :] - mxr[cols][:, None]
+            dy = t_py[None, :] - myr[cols][:, None]
+            quad = (par[cols][:, None] * dx * dx
+                    + 2.0 * pbr[cols][:, None] * dx * dy
+                    + pcr[cols][:, None] * dy * dy)
+            lam = t_sky + jnp.sum(a[:, None] * jnp.exp(-0.5 * quad), axis=0)
+            lam = jnp.maximum(lam, LAMBDA_MIN)
+            return jnp.sum((t_counts * jnp.log(lam) - lam) * t_mask)
+
+        return jax.vmap(chain)(amp, mx, my, pa, pb, pc)
+
+    per_tile = jax.vmap(tile_ll)(tile_src, px, py, counts, sky, mask)  # [T, B]
+    return jnp.sum(per_tile, axis=0)
+
+
+class TiledStampData:
+    """Device-side bundle: tile tables + tiled pixel arrays for one field."""
+
+    def __init__(self, tm: TileMap, stamp):
+        import numpy as np
+
+        self.tile_map = tm
+        self.tile_src = jnp.asarray(tm.tile_src, jnp.int32)
+        px, py = tile_pixel_coords(tm)
+        counts, sky, mask = tile_field_arrays(
+            tm, np.asarray(stamp.counts), np.asarray(stamp.sky),
+            np.asarray(stamp.mask), pad_values=(0.0, 1.0, 0.0))
+        self.pixels = tuple(jnp.asarray(a, jnp.float32) for a in (px, py, counts, sky, mask))
+
+
+def _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpret):
+    amp = planes[0]
+    b = amp.shape[0]
+    t = tile_src.shape[0]
+    pix = pixel_tiles[0].shape[1]
+    b_pad = ((b + b_tile - 1) // b_tile) * b_tile
+    planes = [_pad_axis(p, b_pad, 0) for p in planes]
+    # unit middle axis so the tile-indexed blocks satisfy the Mosaic rule
+    # (last two block dims divisible by (8, 128) or equal to array dims)
+    pixel_tiles3 = [p[:, None, :] for p in pixel_tiles]     # [T, 1, PIX]
+
+    grid = (t, b_pad // b_tile)
+    width = planes[0].shape[1]
+    # index maps receive the scalar-prefetch ref(s) as trailing args
+    param_spec = pl.BlockSpec((b_tile, width), lambda ti, bi, *pf: (bi, 0),
+                              memory_space=pltpu.VMEM)
+    pixel_spec = pl.BlockSpec((1, 1, pix), lambda ti, bi, *pf: (ti, 0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[param_spec] * 6 + [pixel_spec] * 5,
+        out_specs=pl.BlockSpec((1, 1, b_tile), lambda ti, bi, *pf: (ti, 0, bi),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_tiled_kernel, n_comp=n_comp, s_max=s_max),
+        out_shape=jax.ShapeDtypeStruct((t, 1, b_pad), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * b_pad * t * s_max * n_comp * pix,
+            bytes_accessed=(6 * b_pad * planes[0].shape[1] + 5 * t * pix) * 4,
+            transcendentals=b_pad * t * (s_max * n_comp + 1) * pix,
+        ),
+    )(tile_src, *planes, *pixel_tiles3)
+    return jnp.sum(out[:, 0, :], axis=0)[:b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _tiled_custom(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpret):
+    return _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max,
+                             b_tile, interpret)
+
+
+def _tiled_fwd(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpret):
+    out = _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max,
+                            b_tile, interpret)
+    return out, (planes, tile_src, pixel_tiles)
+
+
+def _tiled_bwd(n_comp, s_max, b_tile, interpret, residuals, g):
+    planes, tile_src, pixel_tiles = residuals
+
+    def f(planes):
+        return _tiled_jnp(planes, tile_src, pixel_tiles, n_comp)
+
+    _, vjp = jax.vjp(f, planes)
+    (d_planes,) = vjp(g)
+    zeros_pix = jax.tree_util.tree_map(jnp.zeros_like, pixel_tiles)
+    # integer primal -> float0 cotangent
+    import numpy as np
+    zero_idx = np.zeros(tile_src.shape, dtype=jax.dtypes.float0)
+    return d_planes, zero_idx, zeros_pix
+
+
+_tiled_custom.defvjp(_tiled_fwd, _tiled_bwd)
+
+
+def tiled_field_loglik(planes, data: TiledStampData, *, n_comp: int,
+                       b_tile: int = DEFAULT_B_TILE, interpret: bool | None = None,
+                       impl: str = "pallas"):
+    """Poisson loglik of a batched multi-source field with block-sparse
+    tiling.
+
+    ``planes``: 6-tuple of [B, (S+1)*C] parameter planes in precision form
+    (source-major; the final C columns are the zero-amplitude padding slot).
+    Returns [B].  Differentiable (custom VJP via the identical jnp math).
+    """
+    tm = data.tile_map
+    if impl == "jnp":
+        return _tiled_jnp(planes, data.tile_src, data.pixels, n_comp)
+    if interpret is None:
+        interpret = _interpret_default()
+    return _tiled_custom(tuple(planes), data.tile_src, data.pixels,
+                         n_comp, tm.s_max, b_tile, interpret)
+
+
+def scene_planes_padded(scene, vecs, stamp, band):
+    """[B, D_total] joint crowded-scene vectors -> source-major padded
+    planes [B, (S+1)*C] for the tiled kernel (uniform kind scenes)."""
+    from celeste_tpu.kernels.mog_field import _field_planes
+
+    kinds = set(scene.kinds)
+    assert len(kinds) == 1, "tiled path requires uniform source kind"
+    kind = scene.kinds[0]
+    blocks, _ = scene.block_slices()
+
+    def one_chain(vec):
+        per_src = []
+        for off, d, _ in blocks:
+            v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
+            per_src.append(_field_planes(v, stamp, band, kind, scene.n_bands))
+        stacked = tuple(jnp.stack(parts, axis=0) for parts in zip(*per_src))
+        # append the zero padding slot and flatten source-major
+        out = []
+        for p in stacked:
+            p = jnp.concatenate([p, jnp.zeros_like(p[:1])], axis=0)  # [S+1, C]
+            out.append(p.reshape(-1))
+        return tuple(out)
+
+    return jax.vmap(one_chain)(vecs)

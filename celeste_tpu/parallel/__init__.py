@@ -22,5 +22,8 @@ from celeste_tpu.parallel.ensemble import (  # noqa: F401
 from celeste_tpu.parallel.crowded import (  # noqa: F401
     CrowdedScene,
     make_crowded_logdensity,
+    make_tiled_crowded_logdensity,
     sharded_crowded_loglik,
 )
+from celeste_tpu.parallel import collectives  # noqa: F401
+from celeste_tpu.parallel.tiles import build_tile_map  # noqa: F401

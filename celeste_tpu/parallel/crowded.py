@@ -25,6 +25,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -120,6 +121,52 @@ def make_crowded_logdensity(scene: CrowdedScene, stamps: Sequence, bands: Sequen
         return ll
 
     return logdensity
+
+
+def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
+                                  positions_px, radii_px=12.0,
+                                  priors: SourcePriors | None = None,
+                                  s_max: int | None = None):
+    """Joint log density over the flat [D_total] vector using the
+    block-sparse tiled kernel (SURVEY.md §5.7) — the production path for
+    large fields where dense S x P evaluation is quadratic waste.
+
+    ``positions_px``: approximate source pixel positions (from detection /
+    catalog) used ONLY to build the static tile map; the sampled positions
+    move freely within the tile radius.  Returns ``logdensity(vec)``.
+    """
+    from celeste_tpu.kernels.tiled_field import (
+        TiledStampData,
+        scene_planes_padded,
+        tiled_field_loglik,
+    )
+    from celeste_tpu.parallel.tiles import build_tile_map
+
+    priors = priors or SourcePriors()
+    kinds = set(scene.kinds)
+    assert len(kinds) == 1, "tiled path requires uniform source kind"
+    from celeste_tpu.model.galaxy import N_GAL
+    n_comp = (stamp.psf.n_components if scene.kinds[0] == "star"
+              else N_GAL * stamp.psf.n_components)
+    tm = build_tile_map(positions_px, radii_px, np.asarray(stamp.counts).shape,
+                        s_max=s_max)
+    data = TiledStampData(tm, stamp)
+
+    def logdensity(vec):
+        planes = scene_planes_padded(scene, vec[None, :], stamp, band)
+        ll = tiled_field_loglik(planes, data, n_comp=n_comp)[0]
+        blocks, _ = scene.block_slices()
+        for (off, d, kind), params in zip(blocks, scene.unpack(vec)):
+            v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
+            if kind == "star":
+                ll = ll + priors.star_logpdf(params)
+                ll = ll + StarParams.log_det_jacobian(v, scene.n_bands)
+            else:
+                ll = ll + priors.galaxy_logpdf(params)
+                ll = ll + GalaxyParams.log_det_jacobian(v, scene.n_bands)
+        return ll
+
+    return logdensity, data
 
 
 def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,

@@ -1,0 +1,137 @@
+"""Collectives layer on the virtual 8-device mesh (SURVEY.md §5.8) +
+cross-device tempering exchange pattern + tiled crowded logdensity."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from celeste_tpu.parallel import chain_mesh, collectives
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _mesh():
+    return Mesh(np.asarray(jax.devices()[:8]), axis_names=("t",))
+
+
+def test_all_reduce_and_mean():
+    mesh = _mesh()
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=P("t"), out_specs=P("t"))
+    def f(x):
+        s = collectives.all_reduce_sum(jnp.sum(x), "t")
+        m = collectives.all_mean(jnp.sum(x), "t")
+        return (s + 0 * m) * jnp.ones_like(x)
+
+    x = jnp.arange(8.0)
+    out = np.asarray(f(x))
+    np.testing.assert_allclose(out, np.full(8, 28.0))
+
+
+def test_ring_shift():
+    mesh = _mesh()
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=P("t"), out_specs=P("t"))
+    def f(x):
+        return collectives.ring_shift(x, "t", shift=1)
+
+    x = jnp.arange(8.0)
+    out = np.asarray(f(x))
+    np.testing.assert_allclose(out, np.roll(np.arange(8.0), 1))
+
+
+def test_neighbor_exchange():
+    mesh = _mesh()
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=P("t"), out_specs=P("t"))
+    def f(x):
+        return collectives.neighbor_exchange(x, "t")
+
+    x = jnp.arange(8.0)
+    out = np.asarray(f(x))
+    np.testing.assert_allclose(out, [1, 0, 3, 2, 5, 4, 7, 6])
+
+
+def test_cross_device_tempering_swap():
+    """The tempering ladder sharded over devices: one even-phase swap sweep
+    with the Metropolis exchange criterion, computed redundantly on both
+    pair members via neighbor_exchange (deterministic test posterior)."""
+    mesh = _mesh()
+    betas = jnp.geomspace(1.0, 0.05, 8)
+    # a state per temperature; logp(x) = -x^2/2
+    xs = jnp.asarray([0.1, 0.4, 0.2, 2.0, 0.3, 1.5, 0.1, 3.0])
+    logps = -0.5 * xs * xs
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P("t"), P("t"), P("t"), P("t")),
+                       out_specs=(P("t"), P("t")))
+    def swap(xs, logps, betas, u):
+        x_n = collectives.neighbor_exchange(xs, "t")
+        lp_n = collectives.neighbor_exchange(logps, "t")
+        b_n = collectives.neighbor_exchange(betas, "t")
+        # both members compute the same acceptance for their pair
+        log_ratio = (betas - b_n) * (lp_n - logps)
+        i = collectives.axis_index("t")
+        is_lower = (i % 2) == 0
+        # pair-consistent uniform: share the lower member's u
+        u_shared = jnp.where(is_lower, u, collectives.neighbor_exchange(u, "t"))
+        accept = jnp.log(u_shared) < jnp.where(is_lower, log_ratio, -log_ratio) * \
+            jnp.where(is_lower, 1.0, -1.0)
+        # accept criterion is symmetric: (b_i - b_j)(lp_j - lp_i) for the
+        # pair; recompute symmetrically
+        lr_pair = jnp.where(is_lower, (betas - b_n) * (lp_n - logps),
+                            (b_n - betas) * (logps - lp_n))
+        accept = jnp.log(u_shared) < lr_pair
+        xs_out = jnp.where(accept, x_n, xs)
+        lp_out = jnp.where(accept, lp_n, logps)
+        return xs_out, lp_out
+
+    u = jnp.full(8, 0.5)
+    xs2, lp2 = swap(xs, logps, betas, u)
+    xs2, lp2 = np.asarray(xs2), np.asarray(lp2)
+    # pairs either swapped together or not at all
+    for i in range(0, 8, 2):
+        swapped = xs2[i] == np.asarray(xs)[i + 1]
+        if swapped:
+            assert xs2[i + 1] == np.asarray(xs)[i]
+        else:
+            assert xs2[i] == np.asarray(xs)[i] and xs2[i + 1] == np.asarray(xs)[i + 1]
+    # logp payload stays consistent with x
+    np.testing.assert_allclose(lp2, -0.5 * xs2 * xs2, rtol=1e-6)
+
+
+def test_tiled_crowded_logdensity_end_to_end():
+    """make_tiled_crowded_logdensity: finite, differentiable, and peaked
+    near truth on a 48x256 field."""
+    from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+    from celeste_tpu.parallel import CrowdedScene, make_tiled_crowded_logdensity
+
+    rng = np.random.default_rng(9)
+    cosd = np.cos(np.deg2rad(10.0))
+    srcs = []
+    for i in range(8):
+        px, py = rng.uniform(15, 240), rng.uniform(8, 40)
+        de, dn = (px - 127.5) * 0.396, (py - 23.5) * 0.396
+        srcs.append(star_source(u=(30 + de / 3600 / cosd, 10 + dn / 3600),
+                                flux_r=20 + 4 * i))
+    sd = make_synthetic_stamp(srcs, shape=(48, 256), bands=(2,), seed=66)
+    scene = CrowdedScene(kinds=("star",) * 8, n_bands=5)
+    stamp = sd.stamps[0]
+    pos_px = np.stack([np.asarray(stamp.duas2pixel(jnp.asarray(
+        sd.wcs.equa2duas(s["u"]), jnp.float32))) for s in srcs])
+    logd, data = make_tiled_crowded_logdensity(scene, stamp, band=2,
+                                               positions_px=pos_px, radii_px=12.0)
+    vec = jnp.asarray(np.concatenate(
+        [np.concatenate([sd.wcs.equa2duas(s["u"]), np.log(s["flux"])]) for s in srcs]),
+        jnp.float32)
+    val, grad = jax.value_and_grad(logd)(vec)
+    assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(grad)))
+    # perturbing one source position lowers the log density
+    v2 = vec.at[0].add(1.0)
+    assert float(logd(v2)) < float(val)

@@ -1,0 +1,109 @@
+"""Deep statistical correctness (SURVEY.md §4 item 3):
+
+(3c) known-answer conjugate subproblem — the flux-only posterior with fixed
+position is 1-D and computable to high accuracy by quadrature; the MCMC
+samplers must reproduce its mean/sd.
+
+(3a) sample-then-infer calibration (simulation-based calibration ranks) —
+draw parameters from the prior, simulate data, run the sampler, and check
+the rank of the true parameter in the posterior sample is uniform.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+from celeste_tpu.inference import (
+    hmc_init,
+    nuts_kernel,
+    run_chains_ensemble,
+    slice_init,
+    slice_kernel,
+)
+from celeste_tpu.likelihood import stamp_loglik
+from celeste_tpu.model.params import StarParams
+
+
+def _flux_only_problem():
+    src = star_source(u=(30.0, 10.0), flux_r=25.0)
+    scene = make_synthetic_stamp([src], shape=(15, 15), bands=(2,), seed=71)
+    stamp = scene.stamps[0]
+    du = jnp.asarray(scene.wcs.equa2duas(src["u"]), jnp.float32)
+    prior_mu, prior_sd = np.log(25.0), 1.0
+
+    def logpost(log_f):
+        p = StarParams(u=du, flux=jnp.exp(log_f)[None])
+        ll = stamp_loglik([p], stamp, band=0)
+        return ll - 0.5 * ((log_f - prior_mu) / prior_sd) ** 2
+
+    return logpost, scene
+
+
+def test_flux_posterior_matches_quadrature():
+    logpost, _ = _flux_only_problem()
+    # quadrature ground truth on a fine grid of log-flux
+    grid = np.linspace(np.log(25.0) - 0.6, np.log(25.0) + 0.6, 4001)
+    logp = np.array(jax.vmap(lambda g: logpost(jnp.float32(g)))(jnp.asarray(grid)))
+    logp -= logp.max()
+    wts = np.exp(logp)
+    wts /= wts.sum()
+    mean_q = float(np.sum(wts * grid))
+    sd_q = float(np.sqrt(np.sum(wts * (grid - mean_q) ** 2)))
+
+    # slice sampler on the same 1-D posterior
+    kern = slice_kernel(lambda x: logpost(x[0]), widths=jnp.asarray([0.1]))
+    x0 = jnp.full((8, 1), np.log(25.0), jnp.float32)
+    init = jax.vmap(lambda x: slice_init(x, lambda x: logpost(x[0])))(x0)
+    samples, _, _ = run_chains_ensemble(jax.random.key(0), kern, init, n_steps=600)
+    s = np.asarray(samples[:, 100:, 0]).ravel()
+
+    # mean within 3 MC standard errors; sd within 10%
+    mc_se = sd_q / np.sqrt(len(s) / 10.0)  # conservative ESS deflation
+    assert abs(s.mean() - mean_q) < 3 * mc_se + 1e-3, (s.mean(), mean_q)
+    assert abs(s.std() / sd_q - 1.0) < 0.10, (s.std(), sd_q)
+
+
+def test_sbc_rank_uniformity():
+    """SBC over the flux parameter: 32 replications of draw-prior ->
+    simulate -> infer; ranks of truth among 63 posterior draws must be
+    consistent with uniform (chi-squared over 8 bins, generous threshold —
+    this catches gross sampler/posterior mismatches, e.g. missing Jacobian
+    terms or wrong likelihood scaling)."""
+    rng = np.random.default_rng(2024)
+    prior_mu, prior_sd = np.log(20.0), 0.5
+    n_rep = 32
+    n_keep = 63
+    ranks = []
+    for rep in range(n_rep):
+        log_f_true = rng.normal(prior_mu, prior_sd)
+        src = star_source(u=(30.0, 10.0), flux_r=float(np.exp(log_f_true)))
+        scene = make_synthetic_stamp([src], shape=(11, 11), bands=(2,),
+                                     seed=10_000 + rep)
+        stamp = scene.stamps[0]
+        du = jnp.asarray(scene.wcs.equa2duas(src["u"]), jnp.float32)
+
+        def logpost(x):
+            p = StarParams(u=du, flux=jnp.exp(x[:1]))
+            ll = stamp_loglik([p], stamp, band=0)
+            return ll - 0.5 * ((x[0] - prior_mu) / prior_sd) ** 2
+
+        kern = slice_kernel(logpost, widths=jnp.asarray([0.1]))
+        init = slice_init(jnp.asarray([prior_mu], jnp.float32), logpost)
+        from celeste_tpu.inference.runner import run_chains
+        samples, _, _ = run_chains(jax.random.key(rep), kern, init,
+                                   n_steps=30 + n_keep * 4, thin=1)
+        kept = np.asarray(samples[30::4, 0])[:n_keep]
+        ranks.append(int(np.sum(kept < log_f_true)))
+
+    ranks = np.asarray(ranks)
+    # chi-squared against uniform over 8 bins of width 8
+    bins = np.histogram(ranks, bins=8, range=(0, n_keep + 1))[0]
+    expected = n_rep / 8
+    chi2 = float(np.sum((bins - expected) ** 2 / expected))
+    # 7 dof; 0.999 quantile ~ 24.3 — generous to keep the test stable
+    assert chi2 < 24.3, (chi2, bins.tolist())
+    # and the ranks must not be degenerate
+    assert ranks.min() < n_keep // 4 and ranks.max() > 3 * n_keep // 4

@@ -1,0 +1,140 @@
+"""Block-sparse tiled field kernel (SURVEY.md §5.7): tile-map correctness,
+parity with the dense scene likelihood, gradients, and the truncation
+behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+from celeste_tpu.kernels.tiled_field import (
+    TiledStampData,
+    scene_planes_padded,
+    tiled_field_loglik,
+)
+from celeste_tpu.parallel import CrowdedScene
+from celeste_tpu.parallel.tiles import TILE_H, TILE_W, build_tile_map, tile_field_arrays
+
+
+def test_tile_map_basic():
+    pos = np.array([[5.0, 3.0], [200.0, 40.0], [130.0, 3.0]])
+    tm = build_tile_map(pos, radii_px=6.0, shape=(48, 256))
+    assert (tm.n_ty, tm.n_tx) == (6, 2)
+    # source 0 touches tile (0, 0); source 1 tile row 5, col 1; source 2
+    # spans the col boundary at x=128
+    t00 = tm.tile_src[0]
+    assert 0 in t00 and 2 in t00
+    assert 1 in tm.tile_src[5 * 2 + 1]
+    assert 2 in tm.tile_src[0 * 2 + 1]
+
+
+def test_tile_map_truncation_keeps_closest():
+    pos = np.stack([np.full(5, 10.0), np.arange(5, dtype=float) + 1], axis=1)
+    tm = build_tile_map(pos, radii_px=2.0, shape=(8, 128), s_max=3)
+    assert tm.n_dropped > 0
+    assert tm.tile_src.shape == (1, 3)
+
+
+def test_tile_field_arrays_roundtrip():
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(20, 200))
+    tm = build_tile_map(np.zeros((1, 2)), 1.0, shape=(20, 200))
+    (tiled,) = tile_field_arrays(tm, arr, pad_values=(0.0,))
+    # invert: reshape back
+    back = tiled.reshape(tm.n_ty, tm.n_tx, TILE_H, TILE_W).transpose(0, 2, 1, 3)
+    back = back.reshape(tm.h_pad, tm.w_pad)[:20, :200]
+    np.testing.assert_array_equal(back, arr)
+
+
+@pytest.fixture(scope="module")
+def field_scene():
+    """12 stars scattered over a 64x256 field."""
+    rng = np.random.default_rng(5)
+    cosd = np.cos(np.deg2rad(10.0))
+    srcs = []
+    # field center pixel = (127.5, 31.5); pixel scale 0.396"/px
+    for i in range(12):
+        px = rng.uniform(10, 246)
+        py = rng.uniform(6, 58)
+        de = (px - 127.5) * 0.396
+        dn = (py - 31.5) * 0.396
+        srcs.append(star_source(
+            u=(30.0 + de / 3600 / cosd, 10.0 + dn / 3600), flux_r=15 + 5 * (i % 4)))
+    scene = make_synthetic_stamp(srcs, shape=(64, 256), bands=(2,), seed=55)
+    return scene, srcs
+
+
+def _setup(scene_data, srcs, s_max=None):
+    scene = CrowdedScene(kinds=("star",) * len(srcs), n_bands=5)
+    stamp = scene_data.stamps[0]
+    pos_px = np.stack([
+        np.asarray(stamp.duas2pixel(jnp.asarray(
+            scene_data.wcs.equa2duas(s["u"]), jnp.float32)))
+        for s in srcs])
+    tm = build_tile_map(pos_px, radii_px=10.0, shape=(64, 256), s_max=s_max)
+    data = TiledStampData(tm, stamp)
+    vec = jnp.asarray(np.concatenate(
+        [np.concatenate([scene_data.wcs.equa2duas(s["u"]), np.log(s["flux"])])
+         for s in srcs]), jnp.float32)
+    rng = np.random.default_rng(1)
+    vecs = vec[None, :] + 0.01 * jnp.asarray(rng.normal(size=(6, vec.shape[0])),
+                                             jnp.float32)
+    planes = scene_planes_padded(scene, vecs, stamp, band=2)
+    return scene, stamp, data, vecs, planes
+
+
+def test_tiled_parity_with_dense(field_scene):
+    """Tiled likelihood == dense scene likelihood when no truncation and
+    radii cover the whole support."""
+    scene_data, srcs = field_scene
+    scene, stamp, data, vecs, planes = _setup(scene_data, srcs)
+    assert data.tile_map.n_dropped == 0
+
+    got_pallas = tiled_field_loglik(planes, data, n_comp=3)
+    got_jnp = tiled_field_loglik(planes, data, n_comp=3, impl="jnp")
+    np.testing.assert_allclose(np.asarray(got_pallas), np.asarray(got_jnp),
+                               rtol=2e-6, atol=1.0)
+
+    # dense reference over the full field (mask out the same off-support
+    # contributions is impossible dense, so tolerance covers the truncated
+    # tails beyond radius 10px: they are < 1e-8 of a count here)
+    from celeste_tpu.kernels.mog_field import mog_field_loglik, stamp_pixel_data
+    from celeste_tpu.parallel.crowded import scene_field_planes
+    pd = stamp_pixel_data(stamp)
+
+    def dense_one(v):
+        p = scene_field_planes(scene, v, stamp, 2)
+        return mog_field_loglik(*tuple(x[None] for x in p), pd, impl="jnp")[0]
+
+    want = np.asarray(jax.vmap(dense_one)(vecs))
+    np.testing.assert_allclose(np.asarray(got_pallas), want, rtol=1e-5, atol=2.0)
+
+
+def test_tiled_grad(field_scene):
+    scene_data, srcs = field_scene
+    scene, stamp, data, vecs, planes = _setup(scene_data, srcs)
+
+    def f_tiled(vecs):
+        p = scene_planes_padded(scene, vecs, stamp, band=2)
+        return jnp.sum(tiled_field_loglik(p, data, n_comp=3))
+
+    def f_jnp(vecs):
+        p = scene_planes_padded(scene, vecs, stamp, band=2)
+        return jnp.sum(tiled_field_loglik(p, data, n_comp=3, impl="jnp"))
+
+    g1 = jax.grad(f_tiled)(vecs)
+    g2 = jax.grad(f_jnp)(vecs)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-4, atol=0.1)
+    assert np.all(np.isfinite(np.asarray(g1)))
+
+
+def test_tiled_work_reduction(field_scene):
+    """The tile map actually sparsifies: average sources per tile well
+    below S."""
+    scene_data, srcs = field_scene
+    _, _, data, _, _ = _setup(scene_data, srcs)
+    tm = data.tile_map
+    occupancy = np.mean(np.sum(tm.tile_src < tm.n_sources, axis=1))
+    assert occupancy < len(srcs) / 2, occupancy
