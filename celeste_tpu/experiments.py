@@ -232,9 +232,36 @@ def run_experiment(cfg: ExperimentConfig):
             kern = nuts_kernel(logd, step_size, inv_mass, max_depth=cfg.max_depth)
         init = states
 
-    samples, final, info = run_chains_ensemble(k3, kern, init, n_steps=cfg.n_steps,
-                                               thin=cfg.thin)
-    kept = samples[:, cfg.n_steps // (4 * cfg.thin):]
+    # sampling loop, optionally segmented with checkpoints (SURVEY.md §5.4:
+    # exact resume via pytree state + per-segment PRNG keys)
+    from celeste_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    if cfg.resume:
+        init, start_seg, _ = load_checkpoint(cfg.resume, init)
+        logger.log("resume", path=cfg.resume, segment=start_seg)
+    else:
+        start_seg = 0
+
+    seg = cfg.checkpoint_every if cfg.checkpoint_every > 0 else cfg.n_steps
+    assert cfg.n_steps % seg == 0, "checkpoint_every must divide n_steps"
+    n_segments = cfg.n_steps // seg
+    chunks = []
+    state = init
+    for s_i in range(start_seg, n_segments):
+        k_seg = jax.random.fold_in(k3, s_i)
+        samples_seg, state, info = run_chains_ensemble(
+            k_seg, kern, state, n_steps=seg, thin=cfg.thin)
+        chunks.append(samples_seg)
+        if cfg.checkpoint_every > 0 and cfg.out:
+            save_checkpoint(cfg.out + f".ckpt.npz", state, step=s_i + 1)
+            logger.log("checkpoint", segment=s_i + 1)
+    if not chunks:
+        raise SystemExit(
+            f"nothing to run: checkpoint is at segment {start_seg} of "
+            f"{n_segments}; raise n_steps to continue the chain")
+    samples = jnp.concatenate(chunks, axis=1)
+    kept_from = samples.shape[1] // 4
+    kept = samples[:, kept_from:]
     summ = summarize(kept)
     logger.log("done", rhat_max=float(jnp.max(summ["rhat"])),
                ess_min=float(jnp.min(summ["ess"])),

@@ -54,31 +54,26 @@ def _pad_axis(x, n, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _tiled_kernel(idx_ref,                   # [T, S_MAX] scalar-prefetch SMEM
-                  amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,  # [B_t, (S+1)*C]
+def _tiled_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,  # [1, B_t, S_MAX*C]
                   px_ref, py_ref, counts_ref, sky_ref, mask_ref,    # [1, 1, PIX]
                   out_ref,                   # [1, 1, B_t]
                   *, n_comp: int, s_max: int):
-    t = pl.program_id(0)
+    """All indexing is STATIC: the tile's source parameters were gathered
+    into tile-major planes by XLA before the call (Mosaic cannot prove
+    alignment of data-dependent lane offsets, so in-kernel gathers by
+    source index are off the table — and the XLA gather is bandwidth-cheap
+    relative to the compute)."""
     px = px_ref[0]                           # [1, PIX]
     py = py_ref[0]
-    b_t = amp_ref.shape[0]
+    b_t = amp_ref.shape[1]
     lam = jnp.broadcast_to(sky_ref[0], (b_t, px.shape[1])).astype(jnp.float32)
-    for s in range(s_max):
-        src = idx_ref[t, s]
-        col0 = src * n_comp
-        amp = amp_ref[:, pl.ds(col0, n_comp)]
-        mx = mx_ref[:, pl.ds(col0, n_comp)]
-        my = my_ref[:, pl.ds(col0, n_comp)]
-        pa = pa_ref[:, pl.ds(col0, n_comp)]
-        pb = pb_ref[:, pl.ds(col0, n_comp)]
-        pc = pc_ref[:, pl.ds(col0, n_comp)]
-        for c in range(n_comp):
-            dx = px - mx[:, c:c + 1]
-            dy = py - my[:, c:c + 1]
-            quad = (pa[:, c:c + 1] * dx * dx + 2.0 * pb[:, c:c + 1] * dx * dy
-                    + pc[:, c:c + 1] * dy * dy)
-            lam = lam + amp[:, c:c + 1] * jnp.exp(-0.5 * quad)
+    for k in range(s_max * n_comp):
+        dx = px - mx_ref[0][:, k:k + 1]
+        dy = py - my_ref[0][:, k:k + 1]
+        quad = (pa_ref[0][:, k:k + 1] * dx * dx
+                + 2.0 * pb_ref[0][:, k:k + 1] * dx * dy
+                + pc_ref[0][:, k:k + 1] * dy * dy)
+        lam = lam + amp_ref[0][:, k:k + 1] * jnp.exp(-0.5 * quad)
     lam = jnp.maximum(lam, LAMBDA_MIN)
     ll = (counts_ref[0] * jnp.log(lam) - lam) * mask_ref[0]
     out_ref[0, 0, :] = jnp.sum(ll, axis=1)
@@ -127,6 +122,19 @@ class TiledStampData:
         self.pixels = tuple(jnp.asarray(a, jnp.float32) for a in (px, py, counts, sky, mask))
 
 
+def _gather_tile_planes(planes, tile_src, n_comp):
+    """[B, (S+1)*C] planes + [T, S_MAX] indices -> [T, B, S_MAX*C]
+    tile-major gathered planes (XLA gather; zero padding slot included)."""
+    t, s_max = tile_src.shape
+    out = []
+    for p in planes:
+        b = p.shape[0]
+        p3 = p.reshape(b, -1, n_comp)                      # [B, S+1, C]
+        g = jnp.take(p3, tile_src, axis=1)                 # [B, T, S_MAX, C]
+        out.append(jnp.transpose(g, (1, 0, 2, 3)).reshape(t, b, s_max * n_comp))
+    return out
+
+
 def _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpret):
     amp = planes[0]
     b = amp.shape[0]
@@ -134,35 +142,31 @@ def _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, inte
     pix = pixel_tiles[0].shape[1]
     b_pad = ((b + b_tile - 1) // b_tile) * b_tile
     planes = [_pad_axis(p, b_pad, 0) for p in planes]
+    gathered = _gather_tile_planes(planes, tile_src, n_comp)  # [T, B_pad, S_MAX*C]
     # unit middle axis so the tile-indexed blocks satisfy the Mosaic rule
     # (last two block dims divisible by (8, 128) or equal to array dims)
-    pixel_tiles3 = [p[:, None, :] for p in pixel_tiles]     # [T, 1, PIX]
+    pixel_tiles3 = [p[:, None, :] for p in pixel_tiles]       # [T, 1, PIX]
 
     grid = (t, b_pad // b_tile)
-    width = planes[0].shape[1]
-    # index maps receive the scalar-prefetch ref(s) as trailing args
-    param_spec = pl.BlockSpec((b_tile, width), lambda ti, bi, *pf: (bi, 0),
+    width = s_max * n_comp
+    param_spec = pl.BlockSpec((1, b_tile, width), lambda ti, bi: (ti, bi, 0),
                               memory_space=pltpu.VMEM)
-    pixel_spec = pl.BlockSpec((1, 1, pix), lambda ti, bi, *pf: (ti, 0, 0),
+    pixel_spec = pl.BlockSpec((1, 1, pix), lambda ti, bi: (ti, 0, 0),
                               memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[param_spec] * 6 + [pixel_spec] * 5,
-        out_specs=pl.BlockSpec((1, 1, b_tile), lambda ti, bi, *pf: (ti, 0, bi),
-                               memory_space=pltpu.VMEM),
-    )
     out = pl.pallas_call(
         functools.partial(_tiled_kernel, n_comp=n_comp, s_max=s_max),
         out_shape=jax.ShapeDtypeStruct((t, 1, b_pad), jnp.float32),
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=[param_spec] * 6 + [pixel_spec] * 5,
+        out_specs=pl.BlockSpec((1, 1, b_tile), lambda ti, bi: (ti, 0, bi),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=12 * b_pad * t * s_max * n_comp * pix,
-            bytes_accessed=(6 * b_pad * planes[0].shape[1] + 5 * t * pix) * 4,
+            bytes_accessed=(6 * t * b_pad * width + 5 * t * pix) * 4,
             transcendentals=b_pad * t * (s_max * n_comp + 1) * pix,
         ),
-    )(tile_src, *planes, *pixel_tiles3)
+    )(*gathered, *pixel_tiles3)
     return jnp.sum(out[:, 0, :], axis=0)[:b]
 
 

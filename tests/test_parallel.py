@@ -171,3 +171,23 @@ def test_ensemble_diagnostics_sharded(crowded_scene):
     d = ensemble_diagnostics(sharded, mesh)
     assert np.all(np.asarray(d["rhat"]) < 1.05)
     assert np.all(np.asarray(d["ess"]) > 1000)
+
+
+def test_1024_chains_sharded(crowded_scene):
+    """BASELINE config 5 chain count: 1024 chains on the crowded-scene
+    posterior, sharded over the 8-device mesh (MH kernel to keep the CPU
+    cost of the test bounded; NUTS shares the identical ensemble path)."""
+    scene = CrowdedScene(kinds=("star",) * 4, n_bands=5)
+    logd = make_crowded_logdensity(scene, [crowded_scene.stamps[0]], bands=[2])
+    vec = _joint_vec(crowded_scene, scene)
+    kernel = mh_kernel(logd, step_scales=jnp.full(scene.dim, 0.005))
+    x0 = vec[None, :] + 0.005 * jax.random.normal(jax.random.key(0), (1024, scene.dim))
+    init = jax.vmap(lambda x: mh_init(x, logd))(x0)
+    mesh = chain_mesh()
+    samples, final, info = run_sharded_ensemble(
+        jax.random.key(1), kernel, init, n_steps=40, mesh=mesh)
+    assert samples.shape[0] == 1024
+    acc = float(jnp.mean(info.accepted))
+    assert 0.05 < acc < 0.98, acc
+    d = ensemble_diagnostics(samples)
+    assert np.all(np.isfinite(np.asarray(d["mean"])))
