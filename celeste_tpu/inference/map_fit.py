@@ -46,35 +46,44 @@ def map_fit_batch(logdensity_fn, x0_batch, n_steps: int = 300, learning_rate: fl
     return xs[best], final[best], xs, final
 
 
-def detect_peaks(stamp, n_peaks: int = 4, min_separation: int = 3):
+def detect_peaks(stamp, n_peaks: int = 4, min_separation: int | None = None):
     """Host-side matched-filter peak detection on a Stamp's counts (the
     detection step the reference outsources to the SDSS photoObj catalog).
 
-    Smooths counts-sky with a Gaussian of the PSF core width, then greedily
-    picks local maxima.  Returns [n_peaks, 2] pixel (x, y) and their SNR.
-    NumPy; runs once per stamp at setup time.
+    Proper matched-filter SNR: numerator = k * (counts - sky) (Gaussian k
+    at the PSF core width), variance = (k^2) * var with var = counts-noise
+    variance ~ max(sky, counts).  Peaks greedily selected with an exclusion
+    radius defaulting to ~3 sigma of the smoothing kernel.  Returns
+    ([n_peaks, 2] pixel (x, y), SNR per peak).  NumPy; runs once per stamp.
     """
     counts = np.asarray(stamp.counts, np.float64)
     sky = np.asarray(stamp.sky, np.float64)
     resid = counts - sky
+    var = np.maximum(sky, 1.0)
     var0 = float(np.asarray(stamp.psf.cov)[0, 0, 0])
     sig = max(np.sqrt(var0), 0.8)
-    # separable Gaussian smoothing
+    if min_separation is None:
+        min_separation = max(3, int(round(3 * sig)))
     r = int(3 * sig) + 1
     xk = np.arange(-r, r + 1)
     k = np.exp(-0.5 * (xk / sig) ** 2)
     k /= k.sum()
-    sm = np.apply_along_axis(lambda m: np.convolve(m, k, mode="same"), 0, resid)
-    sm = np.apply_along_axis(lambda m: np.convolve(m, k, mode="same"), 1, sm)
-    noise = np.sqrt(np.maximum(sky, 1.0))
-    snr = sm / np.apply_along_axis(lambda m: np.convolve(m, k, mode="same"), 0,
-                                   np.apply_along_axis(
-                                       lambda m: np.convolve(m, k, mode="same"), 1, noise))
+
+    def sep_conv(img, kern):
+        out = np.apply_along_axis(lambda m: np.convolve(m, kern, mode="same"), 0, img)
+        return np.apply_along_axis(lambda m: np.convolve(m, kern, mode="same"), 1, out)
+
+    num = sep_conv(resid, k)
+    den = np.sqrt(np.maximum(sep_conv(var, k * k), 1e-9))
+    snr = num / den
+
     peaks, snrs = [], []
     work = snr.copy()
     h, w = work.shape
     for _ in range(n_peaks):
         ij = np.unravel_index(np.argmax(work), work.shape)
+        if not np.isfinite(work[ij]):
+            break
         peaks.append((float(ij[1]), float(ij[0])))  # (x, y)
         snrs.append(float(work[ij]))
         y0, y1 = max(0, ij[0] - min_separation), min(h, ij[0] + min_separation + 1)

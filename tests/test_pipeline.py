@@ -1,0 +1,80 @@
+"""End-to-end catalog pipeline (SURVEY.md C17): pixels in, Bayesian catalog
+out — detection, MAP, classification, joint NUTS, physical summaries."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from celeste_tpu.data.synthetic import galaxy_source, make_synthetic_stamp, star_source
+from celeste_tpu.model.priors import FluxPrior, SourcePriors
+from celeste_tpu.pipeline import PipelineConfig, run_pipeline
+
+PRIORS = SourcePriors(flux=FluxPrior(log_ref_mean=3.2, log_ref_std=2.0))
+
+
+@pytest.fixture(scope="module")
+def mixed_field():
+    """Two stars + one galaxy, separated by several arcsec."""
+    cosd = np.cos(np.deg2rad(10.0))
+    srcs = [
+        star_source(u=(30.0 - 3.5 / 3600 / cosd, 10.0 - 2.0 / 3600), flux_r=35.0),
+        star_source(u=(30.0 + 3.0 / 3600 / cosd, 10.0 + 2.5 / 3600), flux_r=25.0),
+        galaxy_source(u=(30.0, 10.0), flux_r=70.0, sigma=1.8, ab=0.6),
+    ]
+    scene = make_synthetic_stamp(srcs, shape=(33, 33), bands=(2,), seed=101)
+    return scene, srcs
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(mixed_field):
+    scene, srcs = mixed_field
+    cfg = PipelineConfig(max_sources=5, n_chains=8, n_warmup=150, n_steps=250,
+                         map_steps=250, seed=3, detection_min_separation=7)
+    return run_pipeline(scene.stamps[0], band=0, n_bands=1, cfg=cfg, priors=PRIORS)
+
+
+def test_detects_all_sources(pipeline_result, mixed_field):
+    catalog, artifacts = pipeline_result
+    assert artifacts["n_sources"] == 3
+
+
+def test_classification(pipeline_result):
+    catalog, _ = pipeline_result
+    kinds = sorted(e.kind for e in catalog)
+    assert kinds == ["galaxy", "star", "star"], [(e.kind, e.p_star) for e in catalog]
+
+
+def test_fluxes_recovered(pipeline_result, mixed_field):
+    scene, srcs = mixed_field
+    catalog, _ = pipeline_result
+    truth = sorted(s["flux"][2] for s in srcs)
+    est = sorted(float(e.flux_mean[0]) for e in catalog)
+    for t, e in zip(truth, est):
+        assert abs(e - t) / t < 0.25, (truth, est)
+
+
+def test_positions_recovered(pipeline_result, mixed_field):
+    scene, srcs = mixed_field
+    catalog, _ = pipeline_result
+    truth = sorted(tuple(np.round(scene.wcs.equa2duas(s["u"]), 1)) for s in srcs)
+    est = sorted(tuple(np.round(e.du_mean, 1)) for e in catalog)
+    for t, e in zip(truth, est):
+        assert np.hypot(t[0] - e[0], t[1] - e[1]) < 0.4, (truth, est)
+
+
+def test_galaxy_shape_in_catalog(pipeline_result):
+    catalog, _ = pipeline_result
+    gal = [e for e in catalog if e.kind == "galaxy"][0]
+    assert 0.5 < gal.extras["sigma_mean"] < 4.0
+    assert 0.1 < gal.extras["ab_mean"] < 1.0
+
+
+def test_empty_field():
+    """No sources above threshold -> empty catalog, no crash."""
+    scene = make_synthetic_stamp([star_source(flux_r=0.01)], shape=(21, 21),
+                                 bands=(2,), seed=7)
+    catalog, artifacts = run_pipeline(scene.stamps[0], band=0, n_bands=1,
+                                      cfg=PipelineConfig(detection_snr_min=8.0),
+                                      priors=PRIORS)
+    assert catalog == [] and artifacts["n_sources"] == 0
