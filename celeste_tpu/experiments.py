@@ -94,6 +94,9 @@ CONFIGS = {
     "crowded_field": ExperimentConfig(name="crowded_field", sampler="nuts",
                                       n_chains=256, n_steps=500, shape=(41, 41),
                                       n_sources=10, bands=(2,)),
+    "pipeline": ExperimentConfig(name="pipeline", sampler="nuts", n_chains=16,
+                                 n_steps=400, n_warmup=200, shape=(33, 33),
+                                 n_sources=3, bands=(2,)),
 }
 
 
@@ -198,6 +201,38 @@ def run_experiment(cfg: ExperimentConfig):
                   "swap_rate": float(out["swap_rate"])}
         logger.log("done", z_true=z_true, z_median=float(np.median(result["z"])),
                    swap_rate=result["swap_rate"])
+        if cfg.out:
+            np.savez(cfg.out, **result)
+        return result
+
+    if cfg.name == "pipeline":
+        from celeste_tpu.data.synthetic import galaxy_source, make_synthetic_stamp, star_source
+        from celeste_tpu.pipeline import PipelineConfig, run_pipeline
+
+        cosd = np.cos(np.deg2rad(10.0))
+        srcs = [
+            star_source(u=(30.0 - 3.5 / 3600 / cosd, 10.0 - 2.0 / 3600), flux_r=35.0),
+            star_source(u=(30.0 + 3.0 / 3600 / cosd, 10.0 + 2.5 / 3600), flux_r=25.0),
+            galaxy_source(u=(30.0, 10.0), flux_r=70.0, sigma=1.8, ab=0.6),
+        ]
+        scene = make_synthetic_stamp(srcs, shape=cfg.shape, bands=cfg.bands,
+                                     seed=cfg.seed + 101)
+        pcfg = PipelineConfig(n_chains=cfg.n_chains, n_warmup=cfg.n_warmup,
+                              n_steps=cfg.n_steps, seed=cfg.seed,
+                              detection_min_separation=7)
+        from celeste_tpu.model.priors import FluxPrior, SourcePriors
+        catalog, artifacts = run_pipeline(
+            scene.stamps[0], band=0, n_bands=1, cfg=pcfg,
+            priors=SourcePriors(flux=FluxPrior(log_ref_mean=3.2, log_ref_std=2.0)),
+            logger=logger)
+        logger.log("done", n_sources=len(catalog),
+                   kinds=[e.kind for e in catalog])
+        result = {
+            "kinds": np.asarray([e.kind for e in catalog]),
+            "p_star": np.asarray([e.p_star for e in catalog]),
+            "du_mean": np.stack([e.du_mean for e in catalog]) if catalog else np.zeros((0, 2)),
+            "flux_mean": np.stack([e.flux_mean for e in catalog]) if catalog else np.zeros((0, 1)),
+        }
         if cfg.out:
             np.savez(cfg.out, **result)
         return result

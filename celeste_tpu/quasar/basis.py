@@ -42,6 +42,16 @@ class QuasarBasis(NamedTuple):
     def n_basis(self):
         return self.b.shape[0]
 
+    @classmethod
+    def default(cls):
+        """The shipped basis artifact (fit on synthetic spectra by
+        scripts; a BOSS-trained .npz drops in via ``load``)."""
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "artifacts",
+                            "default_basis.npz")
+        return cls.load(path)
+
     def save(self, path):
         np.savez(path, lam_rest=np.asarray(self.lam_rest), b=np.asarray(self.b))
 
