@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 from celeste_tpu.likelihood.poisson import LAMBDA_MIN
 
 LANE = 128
-DEFAULT_B_TILE = 128
+# b_tile sweep on v5e (scripts/tpu_session2.py, B=65536 star):
+# 128: 3.40e7, 256: 3.78e7, 512: 3.58e7, 1024: 3.69e7 evals/s -> 256
+DEFAULT_B_TILE = 256
 
 
 def _interpret_default() -> bool:

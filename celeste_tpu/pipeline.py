@@ -3,22 +3,27 @@ reference's experiment scripts do as a whole: start from pixels, produce a
 posterior catalog).
 
 Stages (each independently usable):
-  1. detect   — matched-filter peaks on counts - sky (map_fit.detect_peaks);
-  2. map_fit  — per-source MAP fits conditioned on the running scene
-                (celeste_em's role), batched over restarts;
-  3. classify — star/galaxy Laplace evidence per source (model_select);
-  4. sample   — joint NUTS over the full scene with adapted warmup;
-  5. catalog  — posterior summaries per source in physical units.
+  1. detect   — CLEAN-style iterative matched-filter detection with
+                point-source subtraction on the residual image;
+  2. classify — conditional classification sweeps (block coordinate ascent,
+                the reference's celeste_em structure): each candidate
+                re-decided star/galaxy/absent with the others folded into
+                an effective sky, plus deblender merging and
+                evidence pruning;
+  3. sample   — joint NUTS over the full scene with adapted warmup;
+  4. catalog  — posterior summaries per source in physical units.
 
-Works on synthetic scenes and ingested SDSS stamps alike; every stage logs
-to the metrics stream.  This is the "switch from the reference" entry
-point: one call from pixels to a Bayesian catalog.
+Single-band or multi-band: pass one Stamp or a list of per-band Stamps
+(detection runs on ``detect_band_index``; fits and sampling are joint over
+all bands).  Works on synthetic scenes and ingested SDSS stamps alike;
+every stage logs to the metrics stream.  This is the "switch from the
+reference" entry point: one call from pixels to a Bayesian catalog.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -27,7 +32,6 @@ import jax.numpy as jnp
 
 from celeste_tpu.inference import hmc_warmup, nuts_kernel, run_chains_ensemble, summarize
 from celeste_tpu.inference.map_fit import detect_peaks, map_fit
-from celeste_tpu.inference.model_select import classify_source
 from celeste_tpu.model.priors import SourcePriors
 from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
 from celeste_tpu.utils.metrics import MetricsLogger
@@ -38,8 +42,9 @@ class PipelineConfig:
     max_sources: int = 8
     detection_snr_min: float = 5.0
     # peak exclusion radius (px).  Extended galaxies shed secondary peaks in
-    # their wings; until iterative detect-subtract deblending lands, set
-    # this to ~ the largest expected source extent.
+    # their wings; phantom candidates are handled by pruning/merging below,
+    # but a radius near the largest expected source extent keeps the
+    # candidate list short.
     detection_min_separation: int = 5
     classify: bool = True
     p_star_threshold: float = 0.5
@@ -76,63 +81,76 @@ class CatalogEntry:
     extras: dict = field(default_factory=dict)
 
 
-def run_pipeline(stamp, band: int = 0, n_bands: int = 1,
+def run_pipeline(stamps, band=0, n_bands: int | None = None,
                  cfg: PipelineConfig = PipelineConfig(),
                  priors: Optional[SourcePriors] = None,
-                 logger: Optional[MetricsLogger] = None):
-    """Pixels -> posterior catalog for one stamp.
+                 logger: Optional[MetricsLogger] = None,
+                 detect_band_index: int = 0):
+    """Pixels -> posterior catalog.
 
-    Returns (catalog: list[CatalogEntry], artifacts dict with samples and
-    diagnostics).  ``n_bands`` is the per-source flux dimensionality (1 for
-    a single stamp; multi-stamp scenes pass their stamps through the same
-    scene machinery via celeste_tpu.parallel).
+    ``stamps``: one Stamp or a list of per-band Stamps; ``band``: the flux
+    slot per stamp (int for one stamp, list for several).  ``n_bands``
+    defaults to the number of stamps.  ``detect_band_index`` selects which
+    stamp drives detection (use the deepest band).
     """
-    logger = logger or MetricsLogger()
-    priors = priors or SourcePriors()
-    key = jax.random.key(cfg.seed)
-
-    # -- 1. iterative detect -> star-MAP -> subtract (CLEAN-style) --------
-    # A single detection pass cannot deblend: an extended galaxy's wings
-    # carry high-SNR secondary peaks.  Find the brightest peak on the
-    # RESIDUAL image, fit a point source, subtract, repeat.  Any halo flux
-    # a star model fails to absorb may spawn phantom candidates; those are
-    # removed by the evidence-based pruning in stage 3.
-    from celeste_tpu.inference.problems import make_star_logdensity
+    from celeste_tpu.inference.model_select import laplace_evidence
+    from celeste_tpu.inference.problems import (
+        make_galaxy_logdensity,
+        make_star_logdensity,
+    )
+    from celeste_tpu.likelihood.poisson import poisson_loglik
     from celeste_tpu.model import expected_image
     from celeste_tpu.model.params import GalaxyParams, StarParams
     from celeste_tpu.model.stamp import Stamp
     from celeste_tpu.mog import eval_grid
 
-    psf_peak = float(eval_grid(stamp.psf, jnp.zeros(()), jnp.zeros(())))
-    iota = float(np.asarray(stamp.iota))
-    a_inv = np.linalg.inv(np.asarray(stamp.wcs_A, np.float64))
-    p0 = np.asarray(stamp.wcs_p0, np.float64)
+    if not isinstance(stamps, (list, tuple)):
+        stamps = [stamps]
+    bands = list(band) if isinstance(band, (list, tuple)) else [band] * len(stamps)
+    n_bands = n_bands if n_bands is not None else max(len(stamps), max(bands) + 1)
+    logger = logger or MetricsLogger()
+    priors = priors or SourcePriors()
+    key = jax.random.key(cfg.seed)
+    det = stamps[detect_band_index]
 
-    def residual_stamp(work_counts):
-        return Stamp(jnp.asarray(work_counts, jnp.float32), stamp.sky, stamp.iota,
-                     stamp.mask, stamp.psf, stamp.wcs_A, stamp.wcs_p0, stamp.band)
+    # -- 1. iterative detect -> star-MAP -> subtract (CLEAN-style) --------
+    psf_peak = float(eval_grid(det.psf, jnp.zeros(()), jnp.zeros(())))
+    iota_det = float(np.asarray(det.iota))
+    a_inv = np.linalg.inv(np.asarray(det.wcs_A, np.float64))
+    p0 = np.asarray(det.wcs_p0, np.float64)
 
-    work_counts = np.array(np.asarray(stamp.counts), np.float64)
-    sky_np = np.asarray(stamp.sky, np.float64)
+    def with_counts(st, counts):
+        return Stamp(jnp.asarray(counts, jnp.float32), st.sky, st.iota, st.mask,
+                     st.psf, st.wcs_A, st.wcs_p0, st.band)
+
+    def with_sky(st, sky):
+        return Stamp(st.counts, jnp.asarray(sky, jnp.float32), st.iota, st.mask,
+                     st.psf, st.wcs_A, st.wcs_p0, st.band)
+
+    work = [np.array(np.asarray(st.counts), np.float64) for st in stamps]
+    skies = [np.asarray(st.sky, np.float64) for st in stamps]
     star_maps, snr_log = [], []
     for _ in range(cfg.max_sources):
-        rs = residual_stamp(work_counts)
-        peaks, snrs = detect_peaks(rs, n_peaks=1,
+        rs_det = with_counts(det, work[detect_band_index])
+        peaks, snrs = detect_peaks(rs_det, n_peaks=1,
                                    min_separation=cfg.detection_min_separation)
         if len(peaks) == 0 or snrs[0] < cfg.detection_snr_min:
             break
         px, py = peaks[0]
         du = a_inv @ (np.array([px, py]) - p0)
-        peak_val = max(float(work_counts[int(py), int(px)] - sky_np[int(py), int(px)]),
-                       1.0)
+        peak_val = max(float(work[detect_band_index][int(py), int(px)]
+                             - skies[detect_band_index][int(py), int(px)]), 1.0)
+        flux0 = peak_val / (iota_det * psf_peak)
         x0 = jnp.asarray(np.concatenate(
-            [du, np.full(n_bands, np.log(peak_val / (iota * psf_peak)))]), jnp.float32)
-        logd_one = make_star_logdensity([rs], bands=[band], priors=priors,
+            [du, np.full(n_bands, np.log(flux0))]), jnp.float32)
+        resid_stamps = [with_counts(st, w) for st, w in zip(stamps, work)]
+        logd_one = make_star_logdensity(resid_stamps, bands=bands, priors=priors,
                                         n_bands=n_bands)
         x_map, _ = map_fit(logd_one, x0, n_steps=cfg.map_steps)
-        lam = np.asarray(expected_image(
-            [StarParams.from_vector(x_map, n_bands)], rs, band=band), np.float64)
-        work_counts = work_counts - (lam - sky_np)
+        params = StarParams.from_vector(x_map, n_bands)
+        for k, (st, w) in enumerate(zip(resid_stamps, work)):
+            lam = np.asarray(expected_image([params], st, band=bands[k]), np.float64)
+            work[k] = w - (lam - skies[k])
         star_maps.append(np.asarray(x_map))
         snr_log.append(float(snrs[0]))
     n_cand = len(star_maps)
@@ -140,62 +158,53 @@ def run_pipeline(stamp, band: int = 0, n_bands: int = 1,
     if n_cand == 0:
         return [], {"n_sources": 0}
 
-    # -- 2. conditional classification sweeps + evidence pruning -----------
-    # Block coordinate ascent over sources (the reference's celeste_em
-    # structure, SURVEY.md §3.3): each sweep revisits every candidate with
-    # all OTHERS fixed at their current models (folded into an effective
-    # sky) and re-decides star vs galaxy vs absent by Laplace evidence.
-    # One sweep is not enough: until the galaxy's halo is modeled by SOME
-    # candidate, leftover halo flux rewards any wide component anywhere.
-    # After the halo is captured (sweep 1), neighbors re-classify correctly
-    # and phantom halo candidates lose their evidence and are pruned
-    # (sweep 2+).
-    from celeste_tpu.inference.model_select import laplace_evidence
-    from celeste_tpu.inference.problems import make_galaxy_logdensity
-    from celeste_tpu.likelihood.poisson import poisson_loglik
-
+    # -- 2. conditional classification sweeps + merging + pruning ----------
     cand = [{"kind": "star", "x": np.asarray(m), "p": 1.0, "alive": True}
             for m in star_maps]
 
-    def model_lambda(c):
+    def model_lambda(c, st, b):
         params = (StarParams.from_vector(jnp.asarray(c["x"]), n_bands)
                   if c["kind"] == "star"
                   else GalaxyParams.from_vector(jnp.asarray(c["x"]), n_bands))
-        return np.asarray(expected_image([params], stamp, band=band), np.float64)
+        return np.asarray(expected_image([params], st, band=b), np.float64)
 
     for sweep in range(cfg.classify_sweeps):
         for i, ci in enumerate(cand):
             if not ci["alive"]:
                 continue
-            eff = np.array(sky_np)
-            for j, cj in enumerate(cand):
-                if j != i and cj["alive"]:
-                    eff += model_lambda(cj) - sky_np
-            eff_sky = jnp.asarray(eff, jnp.float32)
-            cond_stamp = Stamp(stamp.counts, eff_sky, stamp.iota, stamp.mask,
-                               stamp.psf, stamp.wcs_A, stamp.wcs_p0, stamp.band)
-            logd_s = make_star_logdensity([cond_stamp], bands=[band], priors=priors,
+            cond_stamps = []
+            effs = []
+            for k, st in enumerate(stamps):
+                eff = np.array(skies[k])
+                for j, cj in enumerate(cand):
+                    if j != i and cj["alive"]:
+                        eff += model_lambda(cj, st, bands[k]) - skies[k]
+                effs.append(jnp.asarray(eff, jnp.float32))
+                cond_stamps.append(with_sky(st, eff))
+            logd_s = make_star_logdensity(cond_stamps, bands=bands, priors=priors,
                                           n_bands=n_bands)
             x0_star = jnp.asarray(ci["x"][: 2 + n_bands])
             xs, _ = map_fit(logd_s, x0_star, n_steps=cfg.map_steps)
             lz_s = float(laplace_evidence(logd_s, xs))
             if cfg.classify:
-                logd_g = make_galaxy_logdensity([cond_stamp], bands=[band],
+                logd_g = make_galaxy_logdensity(cond_stamps, bands=bands,
                                                 priors=priors, n_bands=n_bands)
                 x0_gal = (jnp.asarray(ci["x"]) if ci["kind"] == "galaxy"
-                          else jnp.concatenate([x0_star,
-                                                jnp.asarray([0.0, 0.0, 0.0, 0.5])]))
+                          else jnp.concatenate(
+                              [x0_star, jnp.asarray([0.0, 0.0, 0.0, 0.5])]))
                 xg, _ = map_fit(logd_g, x0_gal, n_steps=cfg.map_steps)
                 lz_g = float(laplace_evidence(logd_g, xg))
             else:
-                lz_g = -np.inf
-            lz_0 = float(poisson_loglik(eff_sky, cond_stamp.counts, cond_stamp.mask))
+                xg, lz_g = None, -np.inf
+            lz_0 = sum(float(poisson_loglik(e, cs.counts, cs.mask))
+                       for e, cs in zip(effs, cond_stamps))
             if max(lz_s, lz_g) < lz_0 + cfg.prune_min_evidence:
                 ci["alive"] = False
                 continue
             p = float(jax.nn.sigmoid(lz_s - lz_g)) if cfg.classify else 1.0
             ci["p"] = p
-            sigma_fit = float(np.exp(np.asarray(xg)[3 + n_bands])) if cfg.classify else 0.0
+            sigma_fit = (float(np.exp(np.asarray(xg)[3 + n_bands]))
+                         if cfg.classify else 0.0)
             is_galaxy = (cfg.classify
                          and lz_g > lz_s + cfg.galaxy_margin_nats
                          and sigma_fit > cfg.galaxy_sigma_min_arcsec)
@@ -205,9 +214,7 @@ def run_pipeline(stamp, band: int = 0, n_bands: int = 1,
                 ci["kind"], ci["x"] = "star", np.asarray(xs)
         # merge pass: a fitted galaxy owns its interior — candidates whose
         # centers fall within merge_sigma_factor x sigma of a brighter
-        # galaxy are halo fragments, not sources (coordinate ascent alone
-        # cannot merge overlapping candidates; this is the deblender's
-        # "assign to parent" step).
+        # galaxy are halo fragments, not sources.
         alive_now = [c for c in cand if c["alive"]]
         for g in sorted((c for c in alive_now if c["kind"] == "galaxy"),
                         key=lambda c: -float(np.exp(c["x"][2]))):
@@ -235,9 +242,9 @@ def run_pipeline(stamp, band: int = 0, n_bands: int = 1,
     if n_src == 0:
         return [], {"n_sources": 0}
 
-    # -- 4. joint sampling -------------------------------------------------
+    # -- 3. joint sampling -------------------------------------------------
     scene = CrowdedScene(kinds=tuple(kinds), n_bands=n_bands)
-    logd = make_crowded_logdensity(scene, [stamp], bands=[band], priors=priors)
+    logd = make_crowded_logdensity(scene, stamps, bands=bands, priors=priors)
     blocks, d_total = scene.block_slices()
     joint0 = np.zeros(d_total, np.float32)
     for (off, d, kind), i in zip(blocks, range(n_src)):
@@ -259,7 +266,7 @@ def run_pipeline(stamp, band: int = 0, n_bands: int = 1,
                ess_min=float(jnp.min(summ["ess"])),
                divergence_frac=float(jnp.mean(info.diverged.astype(jnp.float32))))
 
-    # -- 5. catalog --------------------------------------------------------
+    # -- 4. catalog --------------------------------------------------------
     flat = np.asarray(kept).reshape(-1, d_total)
     catalog: List[CatalogEntry] = []
     for (off, d, kind), p_star in zip(blocks, p_stars):
@@ -283,5 +290,5 @@ def run_pipeline(stamp, band: int = 0, n_bands: int = 1,
             extras=extras,
         ))
     artifacts = {"samples": np.asarray(samples), "summary": summ,
-                 "scene": scene, "n_sources": n_src, "peaks": peaks}
+                 "scene": scene, "n_sources": n_src}
     return catalog, artifacts

@@ -78,3 +78,23 @@ def test_empty_field():
                                       cfg=PipelineConfig(detection_snr_min=8.0),
                                       priors=PRIORS)
     assert catalog == [] and artifacts["n_sources"] == 0
+
+
+def test_multiband_pipeline():
+    """ugriz joint pipeline: one star observed in 5 bands; the catalog's
+    flux vector must recover the per-band SED."""
+    src = star_source(u=(30.0, 10.0), flux_r=35.0)
+    scene = make_synthetic_stamp([src], shape=(21, 21), bands=(0, 1, 2, 3, 4),
+                                 seed=222)
+    cfg = PipelineConfig(max_sources=2, n_chains=6, n_warmup=120, n_steps=200,
+                         map_steps=250, seed=5)
+    catalog, artifacts = run_pipeline(scene.stamps, band=[0, 1, 2, 3, 4],
+                                      n_bands=5, cfg=cfg, priors=PRIORS,
+                                      detect_band_index=2)
+    assert artifacts["n_sources"] == 1
+    e = catalog[0]
+    assert e.kind == "star"
+    assert e.flux_mean.shape == (5,)
+    for b in range(5):
+        truth = src["flux"][b]
+        assert abs(float(e.flux_mean[b]) - truth) / truth < 0.25, (b, e.flux_mean, src["flux"])
