@@ -108,9 +108,53 @@ def _bench_ess_per_sec():
     return rate_min
 
 
+def _bench_tiled_field():
+    """Occupancy-bucketed tiled likelihood on a 64-source 128x512 field."""
+    from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+    from celeste_tpu.kernels.tiled_field import (
+        TiledStampData, scene_planes_padded, tiled_field_loglik,
+    )
+    from celeste_tpu.parallel import CrowdedScene
+    from celeste_tpu.parallel.tiles import build_tile_map
+
+    rng = np.random.default_rng(3)
+    cosd = np.cos(np.deg2rad(10.0))
+    h, w, n_src, b = 128, 512, 64, 1024
+    srcs = []
+    for _ in range(n_src):
+        px, py = rng.uniform(10, w - 10), rng.uniform(6, h - 6)
+        de, dn = (px - (w - 1) / 2) * 0.396, (py - (h - 1) / 2) * 0.396
+        srcs.append(star_source(u=(30 + de / 3600 / cosd, 10 + dn / 3600),
+                                flux_r=15 + 10 * rng.random()))
+    sd = make_synthetic_stamp(srcs, shape=(h, w), bands=(2,), seed=77)
+    scene = CrowdedScene(kinds=("star",) * n_src, n_bands=5)
+    stamp = sd.stamps[0]
+    pos_px = np.stack([np.asarray(stamp.duas2pixel(jnp.asarray(
+        sd.wcs.equa2duas(s["u"]), jnp.float32))) for s in srcs])
+    tm = build_tile_map(pos_px, radii_px=12.0, shape=(h, w))
+    data = TiledStampData(tm, stamp, n_buckets=3)
+    vec = jnp.asarray(np.concatenate(
+        [np.concatenate([sd.wcs.equa2duas(s["u"]), np.log(s["flux"])]) for s in srcs]),
+        jnp.float32)
+    vecs = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(0), (b, vec.shape[0]))
+    planes = jax.jit(lambda v: scene_planes_padded(scene, v, stamp, 2))(vecs)
+    jax.block_until_ready(planes)
+    f = jax.jit(lambda p: tiled_field_loglik(p, data, n_comp=3))
+    f(planes).block_until_ready()
+    t = time.time()
+    for _ in range(20):
+        out = f(planes)
+    out.block_until_ready()
+    rate = b * 20 / (time.time() - t)
+    print(f"# tiled field (64 src, 128x512, bucketed): {rate:.3e} field-evals/s",
+          file=sys.stderr)
+    return rate
+
+
 def main():
     evals_rate = _bench_evals_per_sec()
     ess_rate = _bench_ess_per_sec()
+    tiled_rate = _bench_tiled_field()
     oracle_crowded = 6.0  # min ESS/sec, oracle slice, 6-star field (BASELINE.md)
     print(json.dumps({
         "metric": "single-stamp likelihood evals/sec/chip",
@@ -119,6 +163,7 @@ def main():
         "vs_baseline": evals_rate / ORACLE_EVAL_RATE,
         "ess_per_sec_crowded": ess_rate,
         "ess_vs_oracle": ess_rate / oracle_crowded,
+        "tiled_field_evals_per_sec": tiled_rate,
         "backend": jax.default_backend(),
     }))
 

@@ -104,6 +104,12 @@ def _read_image(h, payload):
     return arr
 
 
+def _parse_tdim(tdim: str):
+    """'(8,6)' -> (6, 8) numpy-order shape (FITS lists fastest axis first)."""
+    dims = [int(x) for x in tdim.strip().strip("()").split(",") if x.strip()]
+    return tuple(reversed(dims))
+
+
 def _read_bintable(h, payload):
     nrow, rowbytes, nfield = h["NAXIS2"], h["NAXIS1"], h["TFIELDS"]
     cols = {}
@@ -121,7 +127,13 @@ def _read_bintable(h, payload):
         else:
             arr = colraw.view(dt).reshape(nrow, repeat)
             arr = arr.astype(dt.newbyteorder("="))
-            cols[name] = arr[:, 0] if repeat == 1 else arr
+            tdim = h.get(f"TDIM{f}")
+            if tdim is not None:
+                shape = _parse_tdim(str(tdim))
+                arr = arr.reshape((nrow,) + shape)
+                cols[name] = arr[0] if nrow == 1 else arr
+            else:
+                cols[name] = arr[:, 0] if repeat == 1 else arr
         offset += nbytes
     return cols
 
@@ -215,10 +227,19 @@ def write_fits_table(cols: dict, extra_cards=None) -> bytes:
                np.dtype("int64"): "K", np.dtype("float32"): "E",
                np.dtype("float64"): "D"}
     nrow = None
+    tdims = []
     for n in names:
         a = np.asarray(cols[n])
         if a.ndim == 1:
             a = a[:, None]
+        tdim = None
+        if a.ndim > 2:
+            # multi-dim cells: flatten and record a TDIM card (FITS lists
+            # the fastest-varying axis first)
+            cell_shape = a.shape[1:]
+            tdim = "(" + ",".join(str(d) for d in reversed(cell_shape)) + ")"
+            a = a.reshape(a.shape[0], -1)
+        tdims.append(tdim)
         nrow = a.shape[0] if nrow is None else nrow
         assert a.shape[0] == nrow
         arrays.append(a)
@@ -229,8 +250,10 @@ def write_fits_table(cols: dict, extra_cards=None) -> bytes:
         _card("NAXIS1", rowbytes), _card("NAXIS2", nrow), _card("PCOUNT", 0),
         _card("GCOUNT", 1), _card("TFIELDS", len(names)),
     ]
-    for i, (n, tf) in enumerate(zip(names, tforms), 1):
+    for i, (n, tf, td) in enumerate(zip(names, tforms, tdims), 1):
         cards += [_card(f"TTYPE{i}", n), _card(f"TFORM{i}", tf)]
+        if td is not None:
+            cards.append(_card(f"TDIM{i}", td))
     for k, v in (extra_cards or {}).items():
         cards.append(_card(k, v))
     rows = b"".join(

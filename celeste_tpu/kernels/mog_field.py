@@ -82,14 +82,20 @@ def _loglik_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
                    *, n_comp: int):
     px = px_ref[0:1, :]
     py = py_ref[0:1, :]
-    lam = jnp.broadcast_to(sky_ref[0:1, :], (amp_ref.shape[0], px.shape[1])).astype(jnp.float32)
+    b_t = amp_ref.shape[0]
+    lam = jnp.broadcast_to(sky_ref[0:1, :], (b_t, px.shape[1])).astype(jnp.float32)
     for c in range(n_comp):
+        # fold the amplitude into the exponent: exp(log amp - quad/2) saves
+        # one multiply per pixel per component; log(0)=-inf for padded rows
+        # yields exactly 0 contribution
+        log_amp = jnp.log(amp_ref[:, c:c + 1])
+        nha = -0.5 * pa_ref[:, c:c + 1]
+        nhb = -pb_ref[:, c:c + 1]
+        nhc = -0.5 * pc_ref[:, c:c + 1]
         dx = px - mx_ref[:, c:c + 1]
         dy = py - my_ref[:, c:c + 1]
-        quad = (pa_ref[:, c:c + 1] * dx * dx
-                + 2.0 * pb_ref[:, c:c + 1] * dx * dy
-                + pc_ref[:, c:c + 1] * dy * dy)
-        lam = lam + amp_ref[:, c:c + 1] * jnp.exp(-0.5 * quad)
+        arg = log_amp + nha * dx * dx + nhb * dx * dy + nhc * dy * dy
+        lam = lam + jnp.exp(arg)
     lam = jnp.maximum(lam, LAMBDA_MIN)
     ll = (counts_ref[0:1, :] * jnp.log(lam) - lam) * mask_ref[0:1, :]
     out_ref[:, 0] = jnp.sum(ll, axis=1)

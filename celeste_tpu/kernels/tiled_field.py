@@ -68,12 +68,15 @@ def _tiled_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,  # [1, B_t, S
     b_t = amp_ref.shape[1]
     lam = jnp.broadcast_to(sky_ref[0], (b_t, px.shape[1])).astype(jnp.float32)
     for k in range(s_max * n_comp):
+        # amplitude folded into the exponent (log(0) = -inf for the zero
+        # padding slot -> exact 0 contribution)
+        log_amp = jnp.log(amp_ref[0][:, k:k + 1])
         dx = px - mx_ref[0][:, k:k + 1]
         dy = py - my_ref[0][:, k:k + 1]
-        quad = (pa_ref[0][:, k:k + 1] * dx * dx
-                + 2.0 * pb_ref[0][:, k:k + 1] * dx * dy
-                + pc_ref[0][:, k:k + 1] * dy * dy)
-        lam = lam + amp_ref[0][:, k:k + 1] * jnp.exp(-0.5 * quad)
+        arg = (log_amp - 0.5 * pa_ref[0][:, k:k + 1] * dx * dx
+               - pb_ref[0][:, k:k + 1] * dx * dy
+               - 0.5 * pc_ref[0][:, k:k + 1] * dy * dy)
+        lam = lam + jnp.exp(arg)
     lam = jnp.maximum(lam, LAMBDA_MIN)
     ll = (counts_ref[0] * jnp.log(lam) - lam) * mask_ref[0]
     out_ref[0, 0, :] = jnp.sum(ll, axis=1)
@@ -108,9 +111,15 @@ def _tiled_jnp(planes, tile_src, pixel_tiles, n_comp):
 
 
 class TiledStampData:
-    """Device-side bundle: tile tables + tiled pixel arrays for one field."""
+    """Device-side bundle: tile tables + tiled pixel arrays for one field.
 
-    def __init__(self, tm: TileMap, stamp):
+    Occupancy bucketing (``n_buckets`` > 1): tiles are partitioned by how
+    many sources touch them and each bucket gets its own (tile-subset,
+    s_max-subset) kernel launch, so sparse tiles don't pay the most crowded
+    tile's S_MAX.  Work drops from T * S_MAX to sum_b T_b * S_MAX_b.
+    """
+
+    def __init__(self, tm: TileMap, stamp, n_buckets: int = 1):
         import numpy as np
 
         self.tile_map = tm
@@ -120,6 +129,26 @@ class TiledStampData:
             tm, np.asarray(stamp.counts), np.asarray(stamp.sky),
             np.asarray(stamp.mask), pad_values=(0.0, 1.0, 0.0))
         self.pixels = tuple(jnp.asarray(a, jnp.float32) for a in (px, py, counts, sky, mask))
+
+        occupancy = np.sum(tm.tile_src < tm.n_sources, axis=1)   # [T]
+        self.buckets = []
+        if n_buckets <= 1 or tm.n_tiles < 2:
+            self.buckets.append((jnp.arange(tm.n_tiles), tm.s_max))
+        else:
+            # bucket edges at occupancy quantiles; at least width 1
+            qs = np.quantile(occupancy, np.linspace(0, 1, n_buckets + 1)[1:-1])
+            edges = sorted(set(int(np.ceil(q)) for q in qs))
+            lo = 0
+            for edge in edges + [tm.s_max]:
+                sel = np.where((occupancy > lo - 1) & (occupancy <= edge))[0] \
+                    if lo > 0 else np.where(occupancy <= edge)[0]
+                if len(sel):
+                    s_cap = max(1, int(occupancy[sel].max()))
+                    self.buckets.append((jnp.asarray(sel, jnp.int32), s_cap))
+                lo = edge + 1
+            # every tile must appear exactly once
+            total = sum(len(np.asarray(s)) for s, _ in self.buckets)
+            assert total == tm.n_tiles, (total, tm.n_tiles)
 
 
 def _gather_tile_planes(planes, tile_src, n_comp):
@@ -215,8 +244,13 @@ def tiled_field_loglik(planes, data: TiledStampData, *, n_comp: int,
         return _tiled_jnp(planes, data.tile_src, data.pixels, n_comp)
     if interpret is None:
         interpret = _interpret_default()
-    return _tiled_custom(tuple(planes), data.tile_src, data.pixels,
-                         n_comp, tm.s_max, b_tile, interpret)
+    out = 0.0
+    for sel, s_cap in data.buckets:
+        tile_src_b = data.tile_src[sel][:, :s_cap]
+        pixels_b = tuple(p[sel] for p in data.pixels)
+        out = out + _tiled_custom(tuple(planes), tile_src_b, pixels_b,
+                                  n_comp, int(s_cap), b_tile, interpret)
+    return out
 
 
 def scene_planes_padded(scene, vecs, stamp, band):

@@ -35,11 +35,9 @@ def all_mean(x, axis_name: str):
 
 
 def ring_shift(x, axis_name: str, shift: int = 1):
-    """ppermute ring rotation: device i receives from (i - shift) mod n."""
+    """ppermute ring rotation: device i receives the value held by
+    (i - shift) mod n.  perm entries are (source, destination) pairs."""
     n = jax.lax.axis_size(axis_name)
-    perm = [((i + shift) % n, i) for i in range(n)]
-    # perm entries are (source, destination) pairs -> device i gets the
-    # value held by (i - shift) mod n ... express directly:
     perm = [(i, (i + shift) % n) for i in range(n)]
     return jax.lax.ppermute(x, axis_name=axis_name, perm=perm)
 

@@ -126,7 +126,8 @@ def make_crowded_logdensity(scene: CrowdedScene, stamps: Sequence, bands: Sequen
 def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
                                   positions_px, radii_px=12.0,
                                   priors: SourcePriors | None = None,
-                                  s_max: int | None = None):
+                                  s_max: int | None = None,
+                                  n_buckets: int = 2):
     """Joint log density over the flat [D_total] vector using the
     block-sparse tiled kernel (SURVEY.md §5.7) — the production path for
     large fields where dense S x P evaluation is quadratic waste.
@@ -150,7 +151,7 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
               else N_GAL * stamp.psf.n_components)
     tm = build_tile_map(positions_px, radii_px, np.asarray(stamp.counts).shape,
                         s_max=s_max)
-    data = TiledStampData(tm, stamp)
+    data = TiledStampData(tm, stamp, n_buckets=n_buckets)
 
     def logdensity(vec):
         planes = scene_planes_padded(scene, vec[None, :], stamp, band)

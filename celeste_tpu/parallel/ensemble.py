@@ -22,14 +22,12 @@ from celeste_tpu.inference.runner import run_chains
 
 def shard_chains(tree, mesh: Mesh):
     """Place a chain-batched pytree ([n_chains, ...] leaves) on the mesh,
-    sharded along the leading axis."""
-    sharding = NamedSharding(mesh, P("chains"))
+    sharded along the leading axis (scalars replicate)."""
 
     def place(x):
         spec = P("chains") if jnp.ndim(x) >= 1 else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    del sharding
     return jax.tree_util.tree_map(place, tree)
 
 

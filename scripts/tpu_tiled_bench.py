@@ -43,6 +43,8 @@ def main():
     print(f"tiles={tm.n_tiles} s_max={tm.s_max} mean_occupancy={occ:.2f} "
           f"dropped={tm.n_dropped}", flush=True)
     data = TiledStampData(tm, stamp)
+    data_b = TiledStampData(tm, stamp, n_buckets=3)
+    print("buckets:", [(len(np.asarray(s)), c) for s, c in data_b.buckets], flush=True)
 
     vec = jnp.asarray(np.concatenate(
         [np.concatenate([sd.wcs.equa2duas(s["u"]), np.log(s["flux"])]) for s in srcs]),
@@ -80,7 +82,9 @@ def main():
     print(f"parity tiled-vs-dense rel: {np.max(np.abs(a - c) / np.abs(c)):.2e}",
           flush=True)
 
+    f_bucket = jax.jit(lambda p: tiled_field_loglik(p, data_b, n_comp=3))
     for name, f, x in (("tiled-pallas", f_tiled, planes_t),
+                       ("tiled-bucket", f_bucket, planes_t),
                        ("tiled-jnp", f_tiled_jnp, planes_t),
                        ("dense-jnp", f_dense, vecs)):
         dt = bench(f, x)

@@ -138,3 +138,32 @@ def test_tiled_work_reduction(field_scene):
     tm = data.tile_map
     occupancy = np.mean(np.sum(tm.tile_src < tm.n_sources, axis=1))
     assert occupancy < len(srcs) / 2, occupancy
+
+
+def test_occupancy_buckets_parity(field_scene):
+    """Bucketed launch == single-bucket launch == jnp, and the buckets
+    cover every tile exactly once."""
+    scene_data, srcs = field_scene
+    scene = CrowdedScene(kinds=("star",) * len(srcs), n_bands=5)
+    stamp = scene_data.stamps[0]
+    pos_px = np.stack([
+        np.asarray(stamp.duas2pixel(jnp.asarray(
+            scene_data.wcs.equa2duas(s["u"]), jnp.float32)))
+        for s in srcs])
+    tm = build_tile_map(pos_px, radii_px=10.0, shape=(64, 256))
+    data1 = TiledStampData(tm, stamp, n_buckets=1)
+    data3 = TiledStampData(tm, stamp, n_buckets=3)
+    assert len(data3.buckets) >= 2
+    caps = [c for _, c in data3.buckets]
+    assert min(caps) < tm.s_max  # sparse tiles got a smaller cap
+
+    vec = jnp.asarray(np.concatenate(
+        [np.concatenate([scene_data.wcs.equa2duas(s["u"]), np.log(s["flux"])])
+         for s in srcs]), jnp.float32)
+    vecs = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(0), (4, vec.shape[0]))
+    planes = scene_planes_padded(scene, vecs, stamp, band=2)
+    a = np.asarray(tiled_field_loglik(planes, data1, n_comp=3))
+    b = np.asarray(tiled_field_loglik(planes, data3, n_comp=3))
+    c = np.asarray(tiled_field_loglik(planes, data1, n_comp=3, impl="jnp"))
+    np.testing.assert_allclose(a, c, rtol=2e-6, atol=1.0)
+    np.testing.assert_allclose(b, c, rtol=2e-6, atol=1.0)
