@@ -134,7 +134,10 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
 
     ``positions_px``: approximate source pixel positions (from detection /
     catalog) used ONLY to build the static tile map; the sampled positions
-    move freely within the tile radius.  Returns ``logdensity(vec)``.
+    move freely within the tile radius.  ``stamp``/``band`` may be lists
+    for multi-band joint inference (one tile map per band).
+    Returns ``(logdensity(vec), data)`` with ``data`` the first band's
+    TiledStampData (or the list for multi-band).
     """
     from celeste_tpu.kernels.tiled_field import (
         TiledStampData,
@@ -147,15 +150,22 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
     kinds = set(scene.kinds)
     assert len(kinds) == 1, "tiled path requires uniform source kind"
     from celeste_tpu.model.galaxy import N_GAL
-    n_comp = (stamp.psf.n_components if scene.kinds[0] == "star"
-              else N_GAL * stamp.psf.n_components)
-    tm = build_tile_map(positions_px, radii_px, np.asarray(stamp.counts).shape,
-                        s_max=s_max)
-    data = TiledStampData(tm, stamp, n_buckets=n_buckets)
+    stamps = stamp if isinstance(stamp, (list, tuple)) else [stamp]
+    bands = list(band) if isinstance(band, (list, tuple)) else [band]
+    assert len(stamps) == len(bands)
+    n_comp = (stamps[0].psf.n_components if scene.kinds[0] == "star"
+              else N_GAL * stamps[0].psf.n_components)
+    datas = []
+    for st in stamps:
+        tm = build_tile_map(positions_px, radii_px, np.asarray(st.counts).shape,
+                            s_max=s_max)
+        datas.append(TiledStampData(tm, st, n_buckets=n_buckets))
 
     def logdensity(vec):
-        planes = scene_planes_padded(scene, vec[None, :], stamp, band)
-        ll = tiled_field_loglik(planes, data, n_comp=n_comp)[0]
+        ll = 0.0
+        for st, b, data in zip(stamps, bands, datas):
+            planes = scene_planes_padded(scene, vec[None, :], st, b)
+            ll = ll + tiled_field_loglik(planes, data, n_comp=n_comp)[0]
         blocks, _ = scene.block_slices()
         for (off, d, kind), params in zip(blocks, scene.unpack(vec)):
             v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
@@ -167,7 +177,7 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
                 ll = ll + GalaxyParams.log_det_jacobian(v, scene.n_bands)
         return ll
 
-    return logdensity, data
+    return logdensity, (datas[0] if len(datas) == 1 else datas)
 
 
 def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
