@@ -129,9 +129,10 @@ def _read_bintable(h, payload):
             arr = arr.astype(dt.newbyteorder("="))
             tdim = h.get(f"TDIM{f}")
             if tdim is not None:
-                shape = _parse_tdim(str(tdim))
-                arr = arr.reshape((nrow,) + shape)
-                cols[name] = arr[0] if nrow == 1 else arr
+                # rank-consistent contract: TDIM columns are ALWAYS
+                # [nrow, *cell_shape] (no nrow==1 squeeze — consumers could
+                # not distinguish one [a,b] cell from an [a,b] column)
+                cols[name] = arr.reshape((nrow,) + _parse_tdim(str(tdim)))
             else:
                 cols[name] = arr[:, 0] if repeat == 1 else arr
         offset += nbytes

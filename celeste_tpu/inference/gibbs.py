@@ -57,13 +57,20 @@ def block_gibbs_kernel(logdensity_fn, blocks: Sequence[tuple], step_scales):
             key, k_prop, k_acc = jax.random.split(key, 3)
             off = offsets[idx]
             w = widths_arr[idx]
-            # propose on a max-width window, masked to the true block width
+            # propose on a max-width window, masked to the true block width.
+            # Work on a zero-padded copy so dynamic_slice never clamps the
+            # start index for trailing narrower blocks (clamping would
+            # silently shift the window and leave coordinates un-proposed).
+            pad = jnp.zeros((max_w,), x.dtype)
+            x_pad = jnp.concatenate([x, pad])
+            scales_pad = jnp.concatenate([step_scales, pad])
             noise = jax.random.normal(k_prop, (max_w,), x.dtype)
             lane = jnp.arange(max_w)
-            window = jax.lax.dynamic_slice(x, (off,), (max_w,))
-            scales = jax.lax.dynamic_slice(step_scales, (off,), (max_w,))
+            window = jax.lax.dynamic_slice(x_pad, (off,), (max_w,))
+            scales = jax.lax.dynamic_slice(scales_pad, (off,), (max_w,))
             prop_window = jnp.where(lane < w, window + scales * noise, window)
-            x_prop = jax.lax.dynamic_update_slice(x, prop_window, (off,))
+            x_prop = jax.lax.dynamic_update_slice(x_pad, prop_window, (off,))[
+                : x.shape[0]]
             logp_prop = logdensity_fn(x_prop)
             accept = jnp.log(jax.random.uniform(k_acc, (), logp.dtype)) < (logp_prop - logp)
             x = jnp.where(accept, x_prop, x)
@@ -111,9 +118,11 @@ def colored_gibbs_kernel(logdensity_fn, blocks: Sequence[tuple], colors, step_sc
     colors = np.asarray(colors)
     n_colors = int(colors.max()) + 1
     d_total = int(step_scales.shape[0])
-    # per-color coordinate masks
+    # per-color coordinate masks; blocks may be (off, width) pairs or the
+    # (off, width, kind) triples CrowdedScene.block_slices() produces
     masks = np.zeros((n_colors, d_total), np.float32)
-    for (off, w), c in zip(blocks, colors):
+    for blk, c in zip(blocks, colors):
+        off, w = int(blk[0]), int(blk[1])
         masks[int(c), off:off + w] = 1.0
     masks = jnp.asarray(masks)
 

@@ -59,7 +59,10 @@ def detect_peaks(stamp, n_peaks: int = 4, min_separation: int | None = None):
     counts = np.asarray(stamp.counts, np.float64)
     sky = np.asarray(stamp.sky, np.float64)
     resid = counts - sky
-    var = np.maximum(sky, 1.0)
+    # Poisson variance ~ the larger of sky and observed counts: using sky
+    # alone would overstate SNR by ~sqrt(counts/sky) on and around bright
+    # sources (phantom detections in the CLEAN residual loop)
+    var = np.maximum(np.maximum(sky, counts), 1.0)
     var0 = float(np.asarray(stamp.psf.cov)[0, 0, 0])
     sig = max(np.sqrt(var0), 0.8)
     if min_separation is None:

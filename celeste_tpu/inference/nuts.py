@@ -97,7 +97,10 @@ def nuts_kernel(logdensity_fn, step_size, inv_mass, max_depth: int = 8):
                 energy_n = -logp_n + kinetic(p_n)
                 log_w = energy0 - energy_n
                 log_w = jnp.where(jnp.isfinite(log_w), log_w, -jnp.inf)
-                div_n = (energy_n - energy0) > _DIVERGENCE_THRESHOLD
+                # negated <= so NaN energies (blown-up leapfrog) also count
+                # as divergences (NaN > x and NaN <= x are both False)
+                div_n = jnp.logical_not(
+                    (energy_n - energy0) <= _DIVERGENCE_THRESHOLD)
                 t = jnp.where(go_right, c["hi"] + 1 + i, c["lo"] - 1 - i)
                 slot = jnp.mod(t, size)
                 xs = xs.at[slot].set(x_n)

@@ -28,6 +28,7 @@ class PTState(NamedTuple):
 
 class PTInfo(NamedTuple):
     swap_accept: jax.Array   # [T-1] bool, adjacent-pair acceptances (padded)
+    swap_active: jax.Array   # [T-1] bool, which pairs were attempted
     logp_cold: jax.Array
 
 
@@ -51,15 +52,16 @@ def pt_kernel(logdensity_fn: Callable, inner_kernel_fn: Callable, betas):
     def step(key, state: PTState):
         k_move, k_swap = jax.random.split(key)
 
-        # (a) per-replica move at its own temperature
-        def move(beta, key_r, x):
+        # (a) per-replica move at its own temperature.  The carried
+        # untempered logp seeds the inner state directly — no re-evaluation
+        # of the log density on entry (it is exact through moves and swaps).
+        def move(beta, key_r, x, lp):
             kern = inner_kernel_fn(beta)
-            from_x = kern.init(x)
-            new, _ = kern.step(key_r, from_x)
+            new, _ = kern.step(key_r, kern.init(x, lp))
             return new.x, new.logp / jnp.maximum(beta, 1e-12)
 
         keys = jax.random.split(k_move, t)
-        xs, logps = jax.vmap(move)(betas, keys, state.xs)
+        xs, logps = jax.vmap(move)(betas, keys, state.xs, state.logps)
 
         # (b) even/odd adjacent swap sweep
         # pair i <-> i+1 for i in the active parity; accept with
@@ -81,7 +83,8 @@ def pt_kernel(logdensity_fn: Callable, inner_kernel_fn: Callable, betas):
 
         new_state = PTState(xs=xs, logps=logps,
                             even_phase=jnp.logical_not(state.even_phase))
-        return new_state, PTInfo(swap_accept=accept, logp_cold=logps[0])
+        return new_state, PTInfo(swap_accept=accept, swap_active=active,
+                                 logp_cold=logps[0])
 
     return step
 
@@ -92,13 +95,15 @@ class _KernelBundle(NamedTuple):
 
 
 def mh_at_beta(logdensity_fn, step_scales):
-    """Adapter: random-walk MH inner kernel family for pt_kernel."""
+    """Adapter: random-walk MH inner kernel family for pt_kernel.
+    ``init(x, logp_untempered)`` builds the state from the carried logp —
+    zero extra density evaluations."""
     from celeste_tpu.inference.mh import MHState, mh_kernel
 
     def factory(beta):
         tempered = lambda x: beta * logdensity_fn(x)
         kern = mh_kernel(tempered, step_scales)
-        init = lambda x: MHState(x=x, logp=tempered(x))
+        init = lambda x, lp: MHState(x=x, logp=beta * lp)
         return _KernelBundle(init=init, step=kern)
 
     return factory
@@ -112,7 +117,7 @@ def slice_at_beta(logdensity_fn, widths, **kw):
     def factory(beta):
         tempered = lambda x: beta * logdensity_fn(x)
         kern = slice_kernel(tempered, widths, **kw)
-        init = lambda x: SliceState(x=x, logp=tempered(x))
+        init = lambda x, lp: SliceState(x=x, logp=beta * lp)
         return _KernelBundle(init=init, step=kern)
 
     return factory

@@ -43,7 +43,10 @@ class FluxPrior:
         """``log_flux`` [B] natural-log fluxes; density over log-flux space
         (i.e. the log-normal's density in its log variable)."""
         b = log_flux.shape[-1]
-        lp = _normal_logpdf(log_flux[..., self.ref_band if b > 1 else 0],
+        # clamp the reference slot into range so 2-band problems (b=2 with
+        # the ugriz default ref_band=2) don't index out of bounds
+        ref = min(self.ref_band, b - 1)
+        lp = _normal_logpdf(log_flux[..., ref],
                             self.log_ref_mean, self.log_ref_std)
         if b > 1:
             colors = log_flux[..., :-1] - log_flux[..., 1:]

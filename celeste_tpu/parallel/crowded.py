@@ -150,14 +150,27 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
     kinds = set(scene.kinds)
     assert len(kinds) == 1, "tiled path requires uniform source kind"
     from celeste_tpu.model.galaxy import N_GAL
-    stamps = stamp if isinstance(stamp, (list, tuple)) else [stamp]
+    is_multi = isinstance(stamp, (list, tuple))
+    stamps = list(stamp) if is_multi else [stamp]
     bands = list(band) if isinstance(band, (list, tuple)) else [band]
     assert len(stamps) == len(bands)
+    assert all(s.psf.n_components == stamps[0].psf.n_components for s in stamps), (
+        "all bands must share the PSF component count (the per-chain planes "
+        "are reshaped with one n_comp)")
     n_comp = (stamps[0].psf.n_components if scene.kinds[0] == "star"
               else N_GAL * stamps[0].psf.n_components)
+    # positions_px: one [S, 2] array shared across bands (synthetic scenes,
+    # co-registered cutouts) or a per-band list — real multi-band frames
+    # have per-band WCS/cutout origins, so pass per-band positions there or
+    # the tile maps of the other bands will be misaligned.
+    per_band_pos = (isinstance(positions_px, (list, tuple))
+                    and len(positions_px) == len(stamps)
+                    and np.asarray(positions_px[0]).ndim == 2)
+    pos_per_band = (list(positions_px) if per_band_pos
+                    else [np.asarray(positions_px)] * len(stamps))
     datas = []
-    for st in stamps:
-        tm = build_tile_map(positions_px, radii_px, np.asarray(st.counts).shape,
+    for st, pos in zip(stamps, pos_per_band):
+        tm = build_tile_map(pos, radii_px, np.asarray(st.counts).shape,
                             s_max=s_max)
         datas.append(TiledStampData(tm, st, n_buckets=n_buckets))
 
@@ -177,7 +190,8 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
                 ll = ll + GalaxyParams.log_det_jacobian(v, scene.n_bands)
         return ll
 
-    return logdensity, (datas[0] if len(datas) == 1 else datas)
+    # return shape mirrors the input shape (a list in -> a list out)
+    return logdensity, (datas if is_multi else datas[0])
 
 
 def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,

@@ -47,7 +47,6 @@ class PipelineConfig:
     # candidate list short.
     detection_min_separation: int = 5
     classify: bool = True
-    p_star_threshold: float = 0.5
     # minimum Laplace-evidence gain (nats) over the source-free conditional
     # scene for a candidate to survive pruning
     prune_min_evidence: float = 5.0
@@ -201,6 +200,10 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
             if max(lz_s, lz_g) < lz_0 + cfg.prune_min_evidence:
                 ci["alive"] = False
                 continue
+            # p_star is reported for the catalog; the DECISION uses the
+            # margin + extendedness rule below (galaxy_margin_nats is the
+            # probability threshold expressed in nats: margin m <=> only
+            # call galaxy when p_star < sigmoid(-m))
             p = float(jax.nn.sigmoid(lz_s - lz_g)) if cfg.classify else 1.0
             ci["p"] = p
             sigma_fit = (float(np.exp(np.asarray(xg)[3 + n_bands]))

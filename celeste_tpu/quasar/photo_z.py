@@ -109,17 +109,20 @@ def run_photo_z(key, basis: QuasarBasis, filters: FilterBank, flux_obs, flux_err
 
         def step(s, key_t):
             s, info = kernel(key_t, s)
-            return s, (s.xs[0], info.swap_accept)
+            return s, (s.xs[0], info.swap_accept, info.swap_active)
 
         keys = jax.random.split(key_s, cfg.n_steps)
-        state, (cold_xs, swaps) = jax.lax.scan(step, state, keys)
-        return cold_xs, swaps
+        state, (cold_xs, swaps, active) = jax.lax.scan(step, state, keys)
+        return cold_xs, swaps, active
 
     keys = jax.random.split(k_run, cfg.n_systems)
-    cold_xs, swaps = jax.vmap(run_system)(keys, init_vecs)   # [S, T_steps, D]
+    cold_xs, swaps, active = jax.vmap(run_system)(keys, init_vecs)  # [S, T, D]
     kept = cold_xs[:, cfg.n_warmup:]
     z, w, m = constrain(kept, k, cfg.z_max)
     return {
         "z": z, "w": w, "m": m, "vec": kept,
-        "swap_rate": jnp.mean(swaps.astype(jnp.float32)),
+        # acceptance among ATTEMPTED swaps (only one parity class of pairs
+        # attempts per step; averaging over all pairs would understate ~2x)
+        "swap_rate": (jnp.sum(swaps.astype(jnp.float32))
+                      / jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0)),
     }

@@ -191,3 +191,36 @@ def test_1024_chains_sharded(crowded_scene):
     assert 0.05 < acc < 0.98, acc
     d = ensemble_diagnostics(samples)
     assert np.all(np.isfinite(np.asarray(d["mean"])))
+
+
+def test_mixed_kind_gibbs_moves_every_coordinate(crowded_scene):
+    """Regression: mixed star/galaxy block widths must not freeze trailing
+    coordinates (dynamic_slice clamping)."""
+    from celeste_tpu.data.synthetic import galaxy_source
+    cosd = np.cos(np.deg2rad(10.0))
+    srcs2 = [
+        galaxy_source(u=(30.0 - 3 / 3600 / cosd, 10.0), flux_r=60.0),
+        star_source(u=(30.0 + 3 / 3600 / cosd, 10.0), flux_r=30.0),
+    ]
+    sd = make_synthetic_stamp(srcs2, shape=(25, 25), bands=(2,), seed=71)
+    scene = CrowdedScene(kinds=("galaxy", "star"), n_bands=5)
+    logd = make_crowded_logdensity(scene, [sd.stamps[0]], bands=[2])
+    v0 = np.zeros(scene.dim, np.float32)
+    v0[:2] = sd.wcs.equa2duas(srcs2[0]["u"])
+    v0[2:7] = np.log(srcs2[0]["flux"])
+    v0[7:11] = [0, 0.3, 0, 0.5]
+    v0[11:13] = sd.wcs.equa2duas(srcs2[1]["u"])
+    v0[13:18] = np.log(srcs2[1]["flux"])
+    blocks = [(off, d) for off, d, _ in scene.block_slices()[0]]
+    kern = block_gibbs_kernel(logd, blocks, jnp.full(scene.dim, 0.01))
+    state = gibbs_init(jnp.asarray(v0), logd)
+
+    def run(key, s):
+        def body(s, k):
+            s, info = kern(k, s)
+            return s, s.x
+        return jax.lax.scan(body, s, jax.random.split(key, 80))
+
+    _, xs = jax.jit(run)(jax.random.key(0), state)
+    moved = np.asarray(xs).std(0) > 0
+    assert moved.all(), np.where(~moved)[0]
