@@ -123,6 +123,35 @@ def slice_at_beta(logdensity_fn, widths, **kw):
     return factory
 
 
+def hmc_at_beta(logdensity_fn, step_size, inv_mass, n_leapfrog: int = 8,
+                scale_step_with_temp: bool = True):
+    """Adapter: HMC inner kernel family — the gradient upgrade of the
+    reference's slice-within-tempering.  Hotter replicas see flatter,
+    wider posteriors, so the step size optionally scales as
+    ``step_size / sqrt(beta)``.  One gradient evaluation per move seeds the
+    state (gradients are not carried across swaps)."""
+    import jax as _jax
+
+    from celeste_tpu.inference.hmc import HMCState, hmc_kernel
+
+    def factory(beta):
+        tempered = lambda x: beta * logdensity_fn(x)
+        # gentle beta^(-1/4) inflation, capped at 2x: the likelihood flattens
+        # when hot but the priors still bound the posterior, so full
+        # 1/sqrt(beta) scaling overshoots and collapses hot-replica
+        # acceptance (breaking the ladder)
+        eps = (step_size * jnp.minimum(jnp.maximum(beta, 1e-6) ** -0.25, 2.0)
+               if scale_step_with_temp else step_size)
+        kern = hmc_kernel(tempered, eps, inv_mass, n_leapfrog=n_leapfrog)
+
+        def init(x, lp):
+            return HMCState(x=x, logp=beta * lp, grad=_jax.grad(tempered)(x))
+
+        return _KernelBundle(init=init, step=kern)
+
+    return factory
+
+
 def geometric_ladder(n_temps: int, beta_min: float = 0.05):
     """Standard geometric inverse-temperature ladder from 1 down to
     beta_min."""

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from celeste_tpu.inference.tempering import (
     geometric_ladder,
+    hmc_at_beta,
     pt_init,
     pt_kernel,
     slice_at_beta,
@@ -42,6 +43,9 @@ class PhotoZConfig:
     n_steps: int = 1500
     n_warmup: int = 500
     n_systems: int = 8        # independent tempering systems (vmapped)
+    inner: str = "slice"      # 'slice' (reference parity) or 'hmc' (gradient)
+    hmc_step_size: float = 0.01
+    hmc_n_leapfrog: int = 8
 
 
 def split_vec(vec, n_basis: int):
@@ -94,8 +98,11 @@ def run_photo_z(key, basis: QuasarBasis, filters: FilterBank, flux_obs, flux_err
     logd = make_photo_z_logdensity(basis, filters, flux_obs, flux_err, cfg)
 
     betas = geometric_ladder(cfg.n_temps, cfg.beta_min)
-    widths = jnp.full((d,), 1.0, jnp.float32)
-    inner = slice_at_beta(logd, widths)
+    if cfg.inner == "hmc":
+        inner = hmc_at_beta(logd, cfg.hmc_step_size, jnp.ones(d, jnp.float32),
+                            n_leapfrog=cfg.hmc_n_leapfrog)
+    else:
+        inner = slice_at_beta(logd, jnp.full((d,), 1.0, jnp.float32))
     kernel = pt_kernel(logd, inner, betas)
 
     k_init, k_run = jax.random.split(key)

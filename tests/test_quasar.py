@@ -103,3 +103,19 @@ def test_photo_z_logdensity_finite_and_differentiable(basis, filters):
     vec = jnp.zeros(5)
     val, grad = jax.value_and_grad(logd)(vec)
     assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_photo_z_hmc_inner(basis, filters):
+    """Gradient-based HMC within tempering recovers the same redshift
+    posterior as the slice inner kernel."""
+    rng = np.random.default_rng(6)
+    z_true = 1.6
+    w_true = jnp.asarray([0.3, 0.2, 0.3, 0.2])
+    flux = project_to_bands(basis, filters, w_true, 1.4, z_true)
+    err = 0.03 * np.abs(np.asarray(flux)) + 1e-6
+    obs = np.asarray(flux) + rng.normal(size=5) * err
+    cfg = PhotoZConfig(n_temps=6, n_steps=500, n_warmup=200, n_systems=4,
+                       inner="hmc")
+    out = run_photo_z(jax.random.key(5), basis, filters, obs, err, cfg)
+    z = np.asarray(out["z"]).ravel()
+    assert np.mean(np.abs(z - z_true) < 0.3) > 0.3, np.percentile(z, [25, 50, 75])
