@@ -126,12 +126,11 @@ def slice_at_beta(logdensity_fn, widths, **kw):
 def hmc_at_beta(logdensity_fn, step_size, inv_mass, n_leapfrog: int = 8,
                 scale_step_with_temp: bool = True):
     """Adapter: HMC inner kernel family — the gradient upgrade of the
-    reference's slice-within-tempering.  Hotter replicas see flatter,
-    wider posteriors, so the step size optionally scales as
-    ``step_size / sqrt(beta)``.  One gradient evaluation per move seeds the
-    state (gradients are not carried across swaps)."""
-    import jax as _jax
-
+    reference's slice-within-tempering.  Hotter replicas see flatter
+    posteriors, so the step size optionally inflates by beta^(-1/4), capped
+    at 2x (see the inline note for why full 1/sqrt(beta) overshoots).  One
+    gradient evaluation per move seeds the state (gradients are not carried
+    across swaps)."""
     from celeste_tpu.inference.hmc import HMCState, hmc_kernel
 
     def factory(beta):
@@ -145,7 +144,7 @@ def hmc_at_beta(logdensity_fn, step_size, inv_mass, n_leapfrog: int = 8,
         kern = hmc_kernel(tempered, eps, inv_mass, n_leapfrog=n_leapfrog)
 
         def init(x, lp):
-            return HMCState(x=x, logp=beta * lp, grad=_jax.grad(tempered)(x))
+            return HMCState(x=x, logp=beta * lp, grad=jax.grad(tempered)(x))
 
         return _KernelBundle(init=init, step=kern)
 

@@ -101,8 +101,10 @@ def run_photo_z(key, basis: QuasarBasis, filters: FilterBank, flux_obs, flux_err
     if cfg.inner == "hmc":
         inner = hmc_at_beta(logd, cfg.hmc_step_size, jnp.ones(d, jnp.float32),
                             n_leapfrog=cfg.hmc_n_leapfrog)
-    else:
+    elif cfg.inner == "slice":
         inner = slice_at_beta(logd, jnp.full((d,), 1.0, jnp.float32))
+    else:
+        raise ValueError(f"unknown inner kernel {cfg.inner!r}; use 'slice' or 'hmc'")
     kernel = pt_kernel(logd, inner, betas)
 
     k_init, k_run = jax.random.split(key)
