@@ -277,3 +277,120 @@ def scene_planes_padded(scene, vecs, stamp, band):
         return tuple(out)
 
     return jax.vmap(one_chain)(vecs)
+
+
+# ---------------------------------------------------------------------------
+# tiled RENDER variant: per-tile lambda partials (for cross-chip source
+# sharding, where lambda must be psum'd over the source axis BEFORE the log)
+# ---------------------------------------------------------------------------
+
+def _tiled_render_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
+                         px_ref, py_ref, out_ref, *, n_comp: int, s_max: int):
+    """Same gather layout as _tiled_kernel but emits the SKY-FREE lambda
+    tiles [T, B_t, PIX] instead of reducing — the source-sharded path adds
+    sky once after the psum."""
+    px = px_ref[0]
+    py = py_ref[0]
+    b_t = amp_ref.shape[1]
+    lam = jnp.zeros((b_t, px.shape[1]), jnp.float32)
+    for k in range(s_max * n_comp):
+        log_amp = jnp.log(amp_ref[0][:, k:k + 1])
+        dx = px - mx_ref[0][:, k:k + 1]
+        dy = py - my_ref[0][:, k:k + 1]
+        arg = (log_amp - 0.5 * pa_ref[0][:, k:k + 1] * dx * dx
+               - pb_ref[0][:, k:k + 1] * dx * dy
+               - 0.5 * pc_ref[0][:, k:k + 1] * dy * dy)
+        lam = lam + jnp.exp(arg)
+    out_ref[0] = lam
+
+
+def _tiled_render_jnp(planes, tile_src, px, py, n_comp):
+    """Dense mirror: [B, (S+1)*C] planes -> lambda tiles [T, B, PIX]."""
+    amp, mx, my, pa, pb, pc = planes
+
+    def tile_lam(t_idx, t_px, t_py):
+        cols = (t_idx[:, None] * n_comp + jnp.arange(n_comp)[None, :]).reshape(-1)
+
+        def chain(ampr, mxr, myr, par, pbr, pcr):
+            a = ampr[cols]
+            dx = t_px[None, :] - mxr[cols][:, None]
+            dy = t_py[None, :] - myr[cols][:, None]
+            quad = (par[cols][:, None] * dx * dx
+                    + 2.0 * pbr[cols][:, None] * dx * dy
+                    + pcr[cols][:, None] * dy * dy)
+            return jnp.sum(a[:, None] * jnp.exp(-0.5 * quad), axis=0)
+
+        return jax.vmap(chain)(amp, mx, my, pa, pb, pc)   # [B, PIX]
+
+    return jax.vmap(tile_lam)(tile_src, px, py)           # [T, B, PIX]
+
+
+def _tiled_render_raw(planes, tile_src, px, py, n_comp, s_max, b_tile, interpret):
+    b = planes[0].shape[0]
+    t = tile_src.shape[0]
+    pix = px.shape[1]
+    b_pad = ((b + b_tile - 1) // b_tile) * b_tile
+    planes = [_pad_axis(p, b_pad, 0) for p in planes]
+    gathered = _gather_tile_planes(planes, tile_src, n_comp)
+    pixel3 = [p[:, None, :] for p in (px, py)]
+    grid = (t, b_pad // b_tile)
+    width = s_max * n_comp
+    param_spec = pl.BlockSpec((1, b_tile, width), lambda ti, bi: (ti, bi, 0),
+                              memory_space=pltpu.VMEM)
+    pixel_spec = pl.BlockSpec((1, 1, pix), lambda ti, bi: (ti, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tiled_render_kernel, n_comp=n_comp, s_max=s_max),
+        out_shape=jax.ShapeDtypeStruct((t, b_pad, pix), jnp.float32),
+        grid=grid,
+        in_specs=[param_spec] * 6 + [pixel_spec] * 2,
+        out_specs=pl.BlockSpec((1, b_tile, pix), lambda ti, bi: (ti, bi, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*gathered, *pixel3)
+    return out[:, :b, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _tiled_render_custom(planes, tile_src, px, py, n_comp, s_max, b_tile, interpret):
+    return _tiled_render_raw(planes, tile_src, px, py, n_comp, s_max, b_tile,
+                             interpret)
+
+
+def _tiled_render_fwd(planes, tile_src, px, py, n_comp, s_max, b_tile, interpret):
+    out = _tiled_render_raw(planes, tile_src, px, py, n_comp, s_max, b_tile,
+                            interpret)
+    return out, (planes, tile_src, px, py)
+
+
+def _tiled_render_bwd(n_comp, s_max, b_tile, interpret, residuals, g):
+    planes, tile_src, px, py = residuals
+
+    def f(planes):
+        return _tiled_render_jnp(planes, tile_src, px, py, n_comp)
+
+    _, vjp = jax.vjp(f, planes)
+    (d_planes,) = vjp(g)
+    import numpy as _np
+    return (d_planes, _np.zeros(tile_src.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(px), jnp.zeros_like(py))
+
+
+_tiled_render_custom.defvjp(_tiled_render_fwd, _tiled_render_bwd)
+
+
+def tiled_field_render(planes, data: TiledStampData, *, n_comp: int,
+                       b_tile: int = DEFAULT_B_TILE, interpret: bool | None = None,
+                       impl: str = "pallas"):
+    """Sky-free lambda tiles [T, B, PIX] for a batched multi-source field —
+    the cross-chip building block: shards render their local sources'
+    partials, psum over the source axis, add sky, reduce (see
+    celeste_tpu.parallel.crowded.sharded_tiled_crowded_loglik)."""
+    px, py = data.pixels[0], data.pixels[1]
+    tm = data.tile_map
+    if impl == "jnp":
+        return _tiled_render_jnp(planes, data.tile_src, px, py, n_comp)
+    if interpret is None:
+        interpret = _interpret_default()
+    return _tiled_render_custom(tuple(planes), data.tile_src, px, py,
+                                n_comp, tm.s_max, b_tile, interpret)

@@ -245,3 +245,87 @@ def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
         return jnp.sum(ll, axis=-1)
 
     return sharded_ll
+
+
+def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
+                                 positions_px, radii_px=12.0,
+                                 *, n_bands: int | None = None):
+    """The full composition (SURVEY.md §5.7 + §5.8): block-sparse TILING x
+    source sharding x chain sharding.
+
+    Each device on the ``sources`` axis holds S/n_shards sources and renders
+    ONLY its local sources' sky-free lambda tiles through the tiled render
+    kernel (work ~ local_S_MAX * PIX); a ``psum`` over ``sources``
+    assembles the full-field lambda; sky is added once and the Poisson
+    reduction runs locally.  Chains shard over the orthogonal ``chains``
+    axis and never communicate.
+
+    Returns ``f(vecs [B, S, D_s]) -> [B]``.  Uniform source kind; the
+    per-shard tile maps are built host-side from ``positions_px`` with a
+    COMMON s_max so the program stays SPMD.
+    """
+    from celeste_tpu.kernels.tiled_field import (
+        TiledStampData,
+        tiled_field_render,
+    )
+    from celeste_tpu.kernels.mog_field import _field_planes
+    from celeste_tpu.parallel.tiles import build_tile_map
+
+    kinds = set(scene.kinds)
+    assert len(kinds) == 1, "sharded tiled path requires uniform source kind"
+    kind = scene.kinds[0]
+    nb = n_bands or scene.n_bands
+    n_src = scene.n_sources
+    s_shard = mesh.shape["sources"]
+    assert n_src % s_shard == 0, f"{n_src} sources over {s_shard} shards"
+    s_loc = n_src // s_shard
+    shape = np.asarray(stamp.counts).shape
+    pos = np.asarray(positions_px, np.float64).reshape(n_src, 2)
+
+    # per-shard tile maps over the SAME tiling (same T), common s_max
+    tms = [build_tile_map(pos[i * s_loc:(i + 1) * s_loc], radii_px, shape)
+           for i in range(s_shard)]
+    s_max = max(tm.s_max for tm in tms)
+    tms = [build_tile_map(pos[i * s_loc:(i + 1) * s_loc], radii_px, shape,
+                          s_max=s_max) for i in range(s_shard)]
+    datas = [TiledStampData(tm, stamp) for tm in tms]
+    # stack per-shard tile tables: [n_shards, T, s_max] (sharded input)
+    tile_src_all = jnp.stack([d.tile_src for d in datas])
+    ref_data = datas[0]
+    px, py, counts_t, sky_t, mask_t = ref_data.pixels
+
+    class _ShardData:
+        """Duck-typed TiledStampData carrying a traced tile table."""
+
+        def __init__(self, tile_src):
+            self.tile_map = ref_data.tile_map
+            self.tile_src = tile_src
+            self.pixels = ref_data.pixels
+            self.buckets = [(jnp.arange(ref_data.tile_map.n_tiles), s_max)]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("chains", "sources", None), P("sources", None, None)),
+        out_specs=P("chains"),
+        check_vma=False,
+    )
+    def sharded_ll(vecs, tile_src_shard):
+        # local planes: [B_loc, S_loc, D] -> [B_loc, (S_loc+1)*C]
+        def one_chain(vs):
+            per = jax.vmap(lambda v: _field_planes(v, stamp, band, kind, nb))(vs)
+            out = []
+            for p in per:
+                p = jnp.concatenate([p, jnp.zeros_like(p[:1])], axis=0)
+                out.append(p.reshape(-1))
+            return tuple(out)
+
+        planes = jax.vmap(one_chain)(vecs)
+        data = _ShardData(tile_src_shard[0])
+        c = planes[0].shape[1] // (vecs.shape[1] + 1)
+        lam_part = tiled_field_render(planes, data, n_comp=c)   # [T, B_loc, PIX]
+        lam = jax.lax.psum(lam_part, axis_name="sources") + sky_t[:, None, :]
+        lam = jnp.maximum(lam, LAMBDA_MIN)
+        ll = (counts_t[:, None, :] * jnp.log(lam) - lam) * mask_t[:, None, :]
+        return jnp.sum(ll, axis=(0, 2))                          # [B_loc]
+
+    return lambda vecs: sharded_ll(vecs, tile_src_all)

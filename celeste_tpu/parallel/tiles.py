@@ -111,6 +111,13 @@ def tile_field_arrays(tm: TileMap, *arrays, pad_values):
 
 def tile_pixel_coords(tm: TileMap):
     """Pixel-center (x, y) coordinates in the same [T, PIX_PER_TILE]
-    order."""
+    order.  Built directly at padded size (routing through
+    tile_field_arrays would double-pad and break on non-tile-aligned
+    fields)."""
     yy, xx = np.mgrid[0: tm.h_pad, 0: tm.w_pad].astype(np.float32)
-    return tile_field_arrays(tm, xx, yy, pad_values=(0.0, 0.0))
+
+    def t(a):
+        return (a.reshape(tm.n_ty, TILE_H, tm.n_tx, TILE_W)
+                .transpose(0, 2, 1, 3).reshape(tm.n_tiles, PIX_PER_TILE))
+
+    return [t(xx), t(yy)]

@@ -100,3 +100,42 @@ def test_posterior_precision_physical(posteriors):
     assert std[0] < 0.396  # du_e tighter than one pixel
     assert std[1] < 0.396
     assert std[2] < 0.2    # log-flux to better than 20%
+
+
+def test_slice_parity_with_oracle_slice(scene, posteriors):
+    """The rebuild's slice sampler vs the oracle's slice sampler on the
+    SAME posterior (the reference's workhorse kernel, C10) — marginal
+    parity like the MH comparison above."""
+    from celeste_tpu.inference import run_chains_ensemble, slice_init, slice_kernel
+    from celeste_tpu.oracle.samplers import oracle_slice_sample
+
+    src = scene.sources[0]
+    stamp = scene.stamps[0]
+    ost = scene.oracle_stamps[0]
+    priors = SourcePriors(flux=FluxPrior(log_ref_mean=np.log(FLUX_R), log_ref_std=2.0))
+    logd = make_star_logdensity([stamp], bands=[0], priors=priors, n_bands=1)
+    du_true = scene.wcs.equa2duas(src["u"])
+    x_true = jnp.asarray([du_true[0], du_true[1], np.log(src["flux"][2])], jnp.float32)
+
+    kern = slice_kernel(logd, widths=jnp.full(3, 0.05))
+    x0 = x_true + 0.03 * jax.random.normal(jax.random.key(7), (16, 3))
+    init = jax.vmap(lambda x: slice_init(x, logd))(x0)
+    samples, _, _ = run_chains_ensemble(jax.random.key(8), kern, init, n_steps=400)
+    jax_s = np.asarray(samples[:, 100:]).reshape(-1, 3)
+
+    wcs = scene.wcs
+
+    def oracle_logpost(vec):
+        u = wcs.duas2equa(vec[:2])
+        lam = oracle_star_lambda(u, np.exp(vec[2]), ost)
+        ll = oracle_poisson_loglik(lam, ost["counts"])
+        return ll - 0.5 * ((vec[2] - np.log(FLUX_R)) / 2.0) ** 2
+
+    rng = np.random.default_rng(17)
+    o = oracle_slice_sample(oracle_logpost, np.asarray(x_true, np.float64),
+                            n_steps=500, widths=np.full(3, 0.05), rng=rng)
+    ora_s = o[100:]
+    jm, js = jax_s.mean(0), jax_s.std(0)
+    om, os_ = ora_s.mean(0), ora_s.std(0)
+    assert np.all(np.abs(jm - om) < 0.5 * np.maximum(js, os_)), (jm, om)
+    assert np.all(js / os_ > 0.65) and np.all(js / os_ < 1.55), (js, os_)

@@ -224,3 +224,37 @@ def test_mixed_kind_gibbs_moves_every_coordinate(crowded_scene):
     _, xs = jax.jit(run)(jax.random.key(0), state)
     moved = np.asarray(xs).std(0) > 0
     assert moved.all(), np.where(~moved)[0]
+
+
+def test_sharded_tiled_crowded_parity(crowded_scene):
+    """The full composition — tiling x source sharding x chain sharding —
+    must match the single-device dense likelihood."""
+    from celeste_tpu.parallel.crowded import sharded_tiled_crowded_loglik
+
+    scene = CrowdedScene(kinds=("star",) * 4, n_bands=5)
+    stamp = crowded_scene.stamps[0]
+    mesh = make_mesh({"chains": 2, "sources": 2})
+    pos = np.stack([np.asarray(stamp.duas2pixel(jnp.asarray(
+        crowded_scene.wcs.equa2duas(s["u"]), jnp.float32)))
+        for s in crowded_scene.sources])
+    f = sharded_tiled_crowded_loglik(scene, stamp, band=2, mesh=mesh,
+                                     positions_px=pos, radii_px=14.0)
+    vec = _joint_vec(crowded_scene, scene)
+    rng = np.random.default_rng(2)
+    vecs = np.asarray(vec).reshape(1, 4, 7) + 0.02 * rng.normal(size=(8, 4, 7))
+    vecs = jnp.asarray(vecs, jnp.float32)
+    with mesh:
+        got = np.asarray(jax.jit(f)(vecs))
+
+    from celeste_tpu.kernels.mog_field import mog_field_loglik, stamp_pixel_data
+    from celeste_tpu.parallel.crowded import scene_field_planes
+    pd = stamp_pixel_data(stamp)
+
+    def dense_one(v_joint):
+        planes = scene_field_planes(scene, v_joint, stamp, 2)
+        planes_b = tuple(p[None, :] for p in planes)
+        return mog_field_loglik(*planes_b, pd, impl="jnp")[0]
+
+    want = np.asarray(jax.vmap(lambda v: dense_one(v.reshape(-1)))(vecs))
+    # radii truncation leaves <1e-6-count tails; allow small abs slack
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1.0)
