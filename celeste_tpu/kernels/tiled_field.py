@@ -82,29 +82,36 @@ def _tiled_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,  # [1, B_t, S
     out_ref[0, 0, :] = jnp.sum(ll, axis=1)
 
 
+def _tile_lambda_chains(planes, t_idx, t_px, t_py, n_comp):
+    """Shared per-tile sky-free lambda for the jnp mirrors: [B, PIX] from
+    6 x [B, (S+1)*C] planes and one tile's source indices.  Keep the
+    quadratic-form convention here IN ONE PLACE (the Pallas kernels carry
+    the same math with the amplitude folded into the exponent)."""
+    amp, mx, my, pa, pb, pc = planes
+    cols = (t_idx[:, None] * n_comp + jnp.arange(n_comp)[None, :]).reshape(-1)
+
+    def chain(ampr, mxr, myr, par, pbr, pcr):
+        a = ampr[cols]
+        dx = t_px[None, :] - mxr[cols][:, None]
+        dy = t_py[None, :] - myr[cols][:, None]
+        quad = (par[cols][:, None] * dx * dx
+                + 2.0 * pbr[cols][:, None] * dx * dy
+                + pcr[cols][:, None] * dy * dy)
+        return jnp.sum(a[:, None] * jnp.exp(-0.5 * quad), axis=0)
+
+    return jax.vmap(chain)(amp, mx, my, pa, pb, pc)
+
+
 def _tiled_jnp(planes, tile_src, pixel_tiles, n_comp):
     """Dense jnp mirror with the SAME tile truncation (backward path and
     CPU check).  planes: 6 x [B, (S+1)*C]; tile_src [T, S_MAX];
     pixel_tiles: 5 x [T, PIX]."""
-    amp, mx, my, pa, pb, pc = planes
     px, py, counts, sky, mask = pixel_tiles
-    b = amp.shape[0]
 
     def tile_ll(t_idx, t_px, t_py, t_counts, t_sky, t_mask):
-        cols = (t_idx[:, None] * n_comp + jnp.arange(n_comp)[None, :]).reshape(-1)
-
-        def chain(ampr, mxr, myr, par, pbr, pcr):
-            a = ampr[cols]
-            dx = t_px[None, :] - mxr[cols][:, None]
-            dy = t_py[None, :] - myr[cols][:, None]
-            quad = (par[cols][:, None] * dx * dx
-                    + 2.0 * pbr[cols][:, None] * dx * dy
-                    + pcr[cols][:, None] * dy * dy)
-            lam = t_sky + jnp.sum(a[:, None] * jnp.exp(-0.5 * quad), axis=0)
-            lam = jnp.maximum(lam, LAMBDA_MIN)
-            return jnp.sum((t_counts * jnp.log(lam) - lam) * t_mask)
-
-        return jax.vmap(chain)(amp, mx, my, pa, pb, pc)
+        lam = t_sky + _tile_lambda_chains(planes, t_idx, t_px, t_py, n_comp)
+        lam = jnp.maximum(lam, LAMBDA_MIN)
+        return jnp.sum((t_counts * jnp.log(lam) - lam) * t_mask, axis=-1)
 
     per_tile = jax.vmap(tile_ll)(tile_src, px, py, counts, sky, mask)  # [T, B]
     return jnp.sum(per_tile, axis=0)
@@ -305,24 +312,12 @@ def _tiled_render_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
 
 
 def _tiled_render_jnp(planes, tile_src, px, py, n_comp):
-    """Dense mirror: [B, (S+1)*C] planes -> lambda tiles [T, B, PIX]."""
-    amp, mx, my, pa, pb, pc = planes
-
-    def tile_lam(t_idx, t_px, t_py):
-        cols = (t_idx[:, None] * n_comp + jnp.arange(n_comp)[None, :]).reshape(-1)
-
-        def chain(ampr, mxr, myr, par, pbr, pcr):
-            a = ampr[cols]
-            dx = t_px[None, :] - mxr[cols][:, None]
-            dy = t_py[None, :] - myr[cols][:, None]
-            quad = (par[cols][:, None] * dx * dx
-                    + 2.0 * pbr[cols][:, None] * dx * dy
-                    + pcr[cols][:, None] * dy * dy)
-            return jnp.sum(a[:, None] * jnp.exp(-0.5 * quad), axis=0)
-
-        return jax.vmap(chain)(amp, mx, my, pa, pb, pc)   # [B, PIX]
-
-    return jax.vmap(tile_lam)(tile_src, px, py)           # [T, B, PIX]
+    """Dense mirror: [B, (S+1)*C] planes -> sky-free lambda tiles
+    [T, B, PIX] (shares the per-tile math with _tiled_jnp)."""
+    return jax.vmap(
+        lambda t_idx, t_px, t_py: _tile_lambda_chains(planes, t_idx, t_px, t_py,
+                                                      n_comp)
+    )(tile_src, px, py)
 
 
 def _tiled_render_raw(planes, tile_src, px, py, n_comp, s_max, b_tile, interpret):

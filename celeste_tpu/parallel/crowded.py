@@ -168,6 +168,11 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
                     and np.asarray(positions_px[0]).ndim == 2)
     pos_per_band = (list(positions_px) if per_band_pos
                     else [np.asarray(positions_px)] * len(stamps))
+    for pos in pos_per_band:
+        assert np.asarray(pos).shape == (scene.n_sources, 2), (
+            f"positions must be [{scene.n_sources}, 2] per band; got "
+            f"{np.asarray(pos).shape} (a stacked [n_bands, S, 2] ndarray is "
+            f"ambiguous — pass a LIST of per-band [S, 2] arrays)")
     datas = []
     for st, pos in zip(stamps, pos_per_band):
         tm = build_tile_map(pos, radii_px, np.asarray(st.counts).shape,
@@ -280,28 +285,38 @@ def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
     assert n_src % s_shard == 0, f"{n_src} sources over {s_shard} shards"
     s_loc = n_src // s_shard
     shape = np.asarray(stamp.counts).shape
-    pos = np.asarray(positions_px, np.float64).reshape(n_src, 2)
+    pos = np.asarray(positions_px, np.float64)
+    assert pos.shape == (n_src, 2), (
+        f"positions_px must be [{n_src}, 2]; got {pos.shape}")
+    radii = np.broadcast_to(np.asarray(radii_px, np.float64), (n_src,))
 
-    # per-shard tile maps over the SAME tiling (same T), common s_max
-    tms = [build_tile_map(pos[i * s_loc:(i + 1) * s_loc], radii_px, shape)
+    # per-shard tile maps over the SAME tiling (same T); pad every shard's
+    # table to the common s_max with its own sentinel (= s_loc) so the
+    # program stays SPMD without rebuilding the maps
+    tms = [build_tile_map(pos[i * s_loc:(i + 1) * s_loc],
+                          radii[i * s_loc:(i + 1) * s_loc], shape)
            for i in range(s_shard)]
     s_max = max(tm.s_max for tm in tms)
-    tms = [build_tile_map(pos[i * s_loc:(i + 1) * s_loc], radii_px, shape,
-                          s_max=s_max) for i in range(s_shard)]
+    tables = [np.pad(tm.tile_src, ((0, 0), (0, s_max - tm.s_max)),
+                     constant_values=s_loc) for tm in tms]
     datas = [TiledStampData(tm, stamp) for tm in tms]
     # stack per-shard tile tables: [n_shards, T, s_max] (sharded input)
-    tile_src_all = jnp.stack([d.tile_src for d in datas])
+    tile_src_all = jnp.asarray(np.stack(tables), jnp.int32)
     ref_data = datas[0]
     px, py, counts_t, sky_t, mask_t = ref_data.pixels
 
+    import types
+
     class _ShardData:
-        """Duck-typed TiledStampData carrying a traced tile table."""
+        """Duck-typed TiledStampData carrying a traced tile table (only the
+        attributes tiled_field_render reads).  tile_map.s_max must be the
+        COMMON padded width, not shard 0's own (they can differ)."""
 
         def __init__(self, tile_src):
-            self.tile_map = ref_data.tile_map
+            self.tile_map = types.SimpleNamespace(
+                s_max=s_max, n_tiles=ref_data.tile_map.n_tiles)
             self.tile_src = tile_src
             self.pixels = ref_data.pixels
-            self.buckets = [(jnp.arange(ref_data.tile_map.n_tiles), s_max)]
 
     @functools.partial(
         shard_map, mesh=mesh,

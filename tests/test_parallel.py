@@ -258,3 +258,25 @@ def test_sharded_tiled_crowded_parity(crowded_scene):
     want = np.asarray(jax.vmap(lambda v: dense_one(v.reshape(-1)))(vecs))
     # radii truncation leaves <1e-6-count tails; allow small abs slack
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1.0)
+
+
+def test_sharded_tiled_per_source_radii(crowded_scene):
+    """Regression: array-valued per-source radii slice per shard, and
+    shards with different natural s_max pad to a common width."""
+    from celeste_tpu.parallel.crowded import sharded_tiled_crowded_loglik
+
+    scene = CrowdedScene(kinds=("star",) * 4, n_bands=5)
+    stamp = crowded_scene.stamps[0]
+    mesh = make_mesh({"chains": 2, "sources": 2})
+    pos = np.stack([np.asarray(stamp.duas2pixel(jnp.asarray(
+        crowded_scene.wcs.equa2duas(s["u"]), jnp.float32)))
+        for s in crowded_scene.sources])
+    radii = np.array([14.0, 10.0, 16.0, 9.0])
+    f = sharded_tiled_crowded_loglik(scene, stamp, band=2, mesh=mesh,
+                                     positions_px=pos, radii_px=radii)
+    vec = _joint_vec(crowded_scene, scene)
+    vecs = jnp.asarray(np.tile(np.asarray(vec).reshape(1, 4, 7), (4, 1, 1)),
+                       jnp.float32)
+    with mesh:
+        out = np.asarray(jax.jit(f)(vecs))
+    assert np.all(np.isfinite(out)) and np.allclose(out, out[0])
