@@ -15,6 +15,7 @@ would fit the color GMM offline (C16) and drop the artifact in.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -29,6 +30,12 @@ def _normal_logpdf(x, mean, std):
     return -0.5 * z * z - jnp.log(std) - 0.9189385332046727
 
 
+def _beta_logpdf(x, a, b):
+    """Normalized Beta(a, b) log-density (a, b are static Python floats)."""
+    log_norm = math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+    return (a - 1.0) * jnp.log(x) + (b - 1.0) * jnp.log1p(-x) + log_norm
+
+
 @dataclass(frozen=True)
 class FluxPrior:
     """Reference-band log-normal + Gaussian color prior."""
@@ -40,8 +47,18 @@ class FluxPrior:
     ref_band: int = REF_BAND
 
     def logpdf(self, log_flux):
-        """``log_flux`` [B] natural-log fluxes; density over log-flux space
-        (i.e. the log-normal's density in its log variable)."""
+        """``log_flux`` [B] natural-log fluxes; returns the genuine
+        CONSTRAINED-space density over the flux vector (true multivariate
+        log-normal pdf, including the -sum(log flux) measure term).
+
+        The map (f_0..f_{B-1}) -> (log f_ref, colors) is exp followed by a
+        unit-determinant linear map, so the flux-space density is
+        N(log f_ref) * prod_b N(c_b) / prod_b f_b.  Samplers working in
+        unconstrained log-flux space add ``log_det_jacobian`` (= +sum log f)
+        back, recovering the intended N x N density over (log f_ref, colors)
+        — adding the Jacobian on top of a log-space density would tilt the
+        posterior by prod_b f_b (effective log-flux mode mu + sigma^2).
+        """
         b = log_flux.shape[-1]
         # clamp the reference slot into range so 2-band problems (b=2 with
         # the ugriz default ref_band=2) don't index out of bounds
@@ -53,7 +70,8 @@ class FluxPrior:
             mean = jnp.asarray(self.color_mean[: b - 1], jnp.float32)
             std = jnp.asarray(self.color_std[: b - 1], jnp.float32)
             lp = lp + jnp.sum(_normal_logpdf(colors, mean, std), axis=-1)
-        return lp
+        # change of measure log-flux -> flux (makes this a real flux density)
+        return lp - jnp.sum(log_flux, axis=-1)
 
 
 @dataclass(frozen=True)
@@ -82,12 +100,18 @@ class GalaxyShapePrior:
     ab_b: float = 1.0
 
     def logpdf(self, theta_dev, sigma, ab, phi):
-        lp = (self.theta_a - 1.0) * jnp.log(theta_dev) + \
-             (self.theta_b - 1.0) * jnp.log1p(-theta_dev)
-        lp = lp + _normal_logpdf(jnp.log(sigma), self.log_sigma_mean, self.log_sigma_std)
-        lp = lp + (self.ab_a - 1.0) * jnp.log(ab) + (self.ab_b - 1.0) * jnp.log1p(-ab)
-        # phi flat over the pi-periodic angle: constant
-        return lp
+        """Genuine CONSTRAINED-space density over (theta_dev, sigma, ab,
+        phi): normalized Betas, a true log-normal pdf on sigma (including the
+        -log sigma measure term), and Uniform(0, pi) on the angle.
+        Normalization constants matter here — Laplace-evidence star/galaxy
+        classification compares models that differ exactly by this factor.
+        """
+        lp = _beta_logpdf(theta_dev, self.theta_a, self.theta_b)
+        lp = lp + _normal_logpdf(jnp.log(sigma), self.log_sigma_mean,
+                                 self.log_sigma_std) - jnp.log(sigma)
+        lp = lp + _beta_logpdf(ab, self.ab_a, self.ab_b)
+        # phi uniform over the pi-periodic angle
+        return lp - jnp.log(jnp.pi)
 
 
 @dataclass(frozen=True)
