@@ -151,10 +151,95 @@ def _bench_tiled_field():
     return rate
 
 
+def _bench_config5_tiled(n_chains=1024, n_steps=128, n_warmup=150):
+    """BASELINE config 5 AS WRITTEN (VERDICT r1 #3): 12 overlapping sources
+    (10 stars + 2 galaxies — production fields are mixed-kind), 1024
+    chains, NUTS, block-sparse TILED likelihood, single chip.  Returns
+    (min ESS/sec, divergence fraction, max |tiled - dense| parity gap)."""
+    from celeste_tpu.data.synthetic import (
+        galaxy_source, make_synthetic_stamp, star_source,
+    )
+    from celeste_tpu.inference import hmc_warmup, nuts_kernel, run_chains_ensemble
+    from celeste_tpu.inference.diagnostics import ess
+    from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
+    from celeste_tpu.parallel.crowded import make_tiled_crowded_logdensity
+
+    rng = np.random.default_rng(11)
+    cosd = np.cos(np.deg2rad(10.0))
+    h, w = 48, 128
+    n_src = 12
+    kinds = tuple("galaxy" if i in (3, 8) else "star" for i in range(n_src))
+    srcs = []
+    # overlapping: 12 sources in a 30x15-arcsec core, mean sep ~3 px
+    for i in range(n_src):
+        px_, py_ = rng.uniform(34, 94), rng.uniform(12, 36)
+        de, dn = (px_ - (w - 1) / 2) * 0.396, (py_ - (h - 1) / 2) * 0.396
+        u = (30 + de / 3600 / cosd, 10 + dn / 3600)
+        if kinds[i] == "star":
+            srcs.append(star_source(u=u, flux_r=20 + 10 * rng.random()))
+        else:
+            srcs.append(galaxy_source(u=u, flux_r=60.0, sigma=0.8, ab=0.6))
+    sd = make_synthetic_stamp(srcs, shape=(h, w), bands=(2,), seed=55)
+    cs = CrowdedScene(kinds=kinds, n_bands=1)
+    stamp = sd.stamps[0]
+    pos_px = np.stack([np.asarray(stamp.duas2pixel(jnp.asarray(
+        sd.wcs.equa2duas(s["u"]), jnp.float32))) for s in srcs])
+    logd, _ = make_tiled_crowded_logdensity(cs, stamp, band=0,
+                                            positions_px=pos_px,
+                                            radii_px=14.0, n_buckets=2)
+    logd_dense = make_crowded_logdensity(cs, [stamp], bands=[0])
+
+    parts = []
+    for s, kind in zip(srcs, kinds):
+        du = sd.wcs.equa2duas(s["u"])
+        if kind == "star":
+            parts.append(np.concatenate([du, [np.log(s["flux"][2])]]))
+        else:
+            th, ab = s["theta_dev"], s["ab"]
+            parts.append(np.concatenate(
+                [du, [np.log(s["flux"][2]), np.log(th / (1 - th)),
+                      np.log(s["sigma"]), np.log(ab / (1 - ab)), s["phi"]]]))
+    vec = jnp.asarray(np.concatenate(parts), jnp.float32)
+    d = cs.dim
+
+    # parity gate: tiled vs dense on perturbed states
+    probe = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(9), (8, d))
+    lt = np.asarray(jax.vmap(logd)(probe))
+    ld = np.asarray(jax.vmap(logd_dense)(probe))
+    parity = float(np.max(np.abs(lt - ld)))
+
+    x0 = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(1), (n_chains, d))
+    states, ss, im = jax.jit(jax.vmap(
+        lambda k, x: hmc_warmup(k, logd, x, n_warmup=n_warmup, n_leapfrog=8)
+    ))(jax.random.split(jax.random.key(3), n_chains), x0)
+    jax.block_until_ready(states)
+    step_size = float(jnp.median(ss))
+    inv_mass = jnp.mean(im, axis=0)
+    print(f"# config5 tiled warmup: step_size={step_size:.4f}", file=sys.stderr)
+    kern = nuts_kernel(logd, step_size=step_size, inv_mass=inv_mass, max_depth=6)
+    run = jax.jit(lambda k, s: run_chains_ensemble(k, kern, s, n_steps=n_steps))
+    samples, _, _ = run(jax.random.key(0), states)
+    samples.block_until_ready()
+    t = time.time()
+    samples, _, info = run(jax.random.key(2), states)
+    samples.block_until_ready()
+    dt = time.time() - t
+    kept = samples[:, n_steps // 4:]
+    e = np.asarray(ess(kept))
+    rate_min = float(e.min() / dt)
+    div = float(jnp.mean(info.diverged.astype(jnp.float32)))
+    print(f"# config5 tiled NUTS (12 src mixed, 1024 chains): {dt:.2f}s, "
+          f"min ESS/sec {rate_min:.1f}, median {float(np.median(e) / dt):.1f}, "
+          f"divergence {div:.4f}, tiled-dense parity {parity:.3f}",
+          file=sys.stderr)
+    return rate_min, div, parity
+
+
 def main():
     evals_rate = _bench_evals_per_sec()
     ess_rate = _bench_ess_per_sec()
     tiled_rate = _bench_tiled_field()
+    ess_tiled, div_tiled, parity_tiled = _bench_config5_tiled()
     oracle_crowded = 6.0  # min ESS/sec, oracle slice, 6-star field (BASELINE.md)
     print(json.dumps({
         "metric": "single-stamp likelihood evals/sec/chip",
@@ -164,6 +249,9 @@ def main():
         "ess_per_sec_crowded": ess_rate,
         "ess_vs_oracle": ess_rate / oracle_crowded,
         "tiled_field_evals_per_sec": tiled_rate,
+        "ess_per_sec_tiled": ess_tiled,
+        "tiled_divergence_frac": div_tiled,
+        "tiled_dense_parity": parity_tiled,
         "backend": jax.default_backend(),
     }))
 

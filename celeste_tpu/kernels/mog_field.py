@@ -258,6 +258,41 @@ def _field_planes(vec, stamp, band, kind: str, n_bands: int):
     return (amp, mu[..., 0], mu[..., 1], prec[..., 0], prec[..., 1], prec[..., 2])
 
 
+def mixed_field_planes(vec, stamp, band, n_bands: int, is_star):
+    """Kind-agnostic per-source planes for SPMD mixed star/galaxy scenes.
+
+    ``vec`` is a rectangular GAL_D = 6 + n_bands wide unconstrained vector
+    (stars use the first 2 + n_bands slots, the rest are padding); ``is_star``
+    is a TRACED bool — inside ``shard_map`` the per-source kind pattern
+    differs across shards, so it must be data, not Python structure.
+
+    Returns planes of width N_GAL * K in the block convention used by the
+    tiled kernels: component block j (width K = PSF comps) holds components
+    j*K..(j+1)*K-1; a star fills block 0 with its K PSF components and
+    zero-amplitude elsewhere; a galaxy fills all N_GAL blocks.
+
+    The galaxy branch is computed even for stars (XLA evaluates both sides
+    of a ``where``), so the star's free-floating shape slots are clamped
+    first — otherwise exp(slot) can overflow and the 0 * inf in the VJP of
+    the unselected branch would poison the star's gradients with NaN.
+    """
+    from celeste_tpu.model.galaxy import N_GAL
+
+    b = n_bands
+    head = vec[..., : 2 + b]
+    shape_raw = jnp.clip(vec[..., 2 + b:], -12.0, 12.0)
+    v_gal = jnp.concatenate([head, shape_raw], axis=-1)
+    g_planes = _field_planes(v_gal, stamp, band, "galaxy", n_bands)
+    s_planes = _field_planes(head, stamp, band, "star", n_bands)
+    k = s_planes[0].shape[-1]
+    out = []
+    for gp, sp in zip(g_planes, s_planes):
+        pad = jnp.zeros(gp.shape[-1] - k, gp.dtype)
+        sp_pad = jnp.concatenate([sp, pad], axis=-1)
+        out.append(jnp.where(is_star, sp_pad, gp))
+    return tuple(out)
+
+
 def batched_stamp_loglik(vecs, stamp, band=0, kind: str = "star", n_bands: int = 5,
                          impl: str = "pallas", pixel_data=None):
     """Fused likelihood for a [B, D] batch of unconstrained source vectors

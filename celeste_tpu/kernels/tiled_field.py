@@ -286,6 +286,40 @@ def scene_planes_padded(scene, vecs, stamp, band):
     return jax.vmap(one_chain)(vecs)
 
 
+def scene_planes_blocked(scene, vecs, stamp, band):
+    """[B, D_total] joint MIXED-kind scene vectors -> block-slot planes
+    [B, (S*N_GAL + 1)*K] for the tiled kernels with ``n_comp = K``.
+
+    Block convention (see parallel.tiles.build_block_tile_map): source i
+    owns slots i*N_GAL..(i+1)*N_GAL-1, each K components wide; stars fill
+    slot i*N_GAL and leave the rest zero-amplitude (never referenced by the
+    block tile map).  Kinds are static here (single-chip path), so no
+    traced selection is needed — each source renders only its own math.
+    """
+    from celeste_tpu.kernels.mog_field import _field_planes
+    from celeste_tpu.model.galaxy import N_GAL
+
+    k = stamp.psf.n_components
+    blocks, _ = scene.block_slices()
+
+    def one_chain(vec):
+        per_src = []
+        for off, d, kind in blocks:
+            v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
+            p = _field_planes(v, stamp, band, kind, scene.n_bands)
+            if kind == "star":
+                p = tuple(jnp.concatenate(
+                    [x, jnp.zeros((N_GAL - 1) * k, x.dtype)]) for x in p)
+            per_src.append(p)
+        out = []
+        for parts in zip(*per_src):
+            flat = jnp.concatenate(parts, axis=0)           # [S*N_GAL*K]
+            out.append(jnp.concatenate([flat, jnp.zeros(k, flat.dtype)]))
+        return tuple(out)
+
+    return jax.vmap(one_chain)(vecs)
+
+
 # ---------------------------------------------------------------------------
 # tiled RENDER variant: per-tile lambda partials (for cross-chip source
 # sharding, where lambda must be psum'd over the source axis BEFORE the log)
@@ -381,11 +415,25 @@ def tiled_field_render(planes, data: TiledStampData, *, n_comp: int,
     the cross-chip building block: shards render their local sources'
     partials, psum over the source axis, add sky, reduce (see
     celeste_tpu.parallel.crowded.sharded_tiled_crowded_loglik)."""
-    px, py = data.pixels[0], data.pixels[1]
-    tm = data.tile_map
+    return tiled_field_render_explicit(
+        planes, data.tile_src, data.pixels[0], data.pixels[1],
+        n_comp=n_comp, s_max=data.tile_map.s_max, b_tile=b_tile,
+        interpret=interpret, impl=impl)
+
+
+def tiled_field_render_explicit(planes, tile_src, px, py, *, n_comp: int,
+                                s_max: int, b_tile: int = DEFAULT_B_TILE,
+                                interpret: bool | None = None,
+                                impl: str = "pallas"):
+    """``tiled_field_render`` with the tile table passed explicitly —
+    ``tile_src`` may be a TRACED [T, s_max] array (the source-sharded path
+    feeds each shard its own table as data), so everything static the
+    kernel needs (``s_max``) is an argument rather than read off a host
+    TileMap.  This replaces round 1's duck-typed TiledStampData shim."""
+    assert tile_src.shape[1] == s_max, (tile_src.shape, s_max)
     if impl == "jnp":
-        return _tiled_render_jnp(planes, data.tile_src, px, py, n_comp)
+        return _tiled_render_jnp(planes, tile_src, px, py, n_comp)
     if interpret is None:
         interpret = _interpret_default()
-    return _tiled_render_custom(tuple(planes), data.tile_src, px, py,
-                                n_comp, tm.s_max, b_tile, interpret)
+    return _tiled_render_custom(tuple(planes), tile_src, px, py,
+                                n_comp, s_max, b_tile, interpret)

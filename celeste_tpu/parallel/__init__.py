@@ -21,9 +21,11 @@ from celeste_tpu.parallel.ensemble import (  # noqa: F401
 )
 from celeste_tpu.parallel.crowded import (  # noqa: F401
     CrowdedScene,
+    crowded_rect_logprior,
     make_crowded_logdensity,
     make_tiled_crowded_logdensity,
     sharded_crowded_loglik,
+    sharded_tiled_crowded_loglik,
 )
 from celeste_tpu.parallel import collectives  # noqa: F401
-from celeste_tpu.parallel.tiles import build_tile_map  # noqa: F401
+from celeste_tpu.parallel.tiles import build_block_tile_map, build_tile_map  # noqa: F401

@@ -82,6 +82,39 @@ class CrowdedScene:
                 params.append(GalaxyParams.from_vector(v, self.n_bands))
         return params
 
+    # -- rectangular (star-padded) layout for the sharded paths ------------
+    # Mixed scenes shard over a mesh axis as a rectangular [S, GAL_D] state:
+    # every source gets the galaxy width; star rows use the first 2+B slots
+    # and carry inert padding after (anchored by crowded_rect_logprior so
+    # the joint stays proper under gradient samplers).
+
+    @property
+    def rect_dim(self):
+        return GAL_D(self.n_bands)
+
+    @property
+    def is_star_flags(self):
+        return np.asarray([k == "star" for k in self.kinds])
+
+    def to_rect(self, vec):
+        """Packed joint [..., D_total] -> rectangular [..., S, GAL_D]."""
+        blocks, _ = self.block_slices()
+        rows = []
+        for off, d, kind in blocks:
+            v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
+            pad = self.rect_dim - d
+            if pad:
+                v = jnp.concatenate(
+                    [v, jnp.zeros(v.shape[:-1] + (pad,), v.dtype)], axis=-1)
+            rows.append(v)
+        return jnp.stack(rows, axis=-2)
+
+    def from_rect(self, rect):
+        """Rectangular [..., S, GAL_D] -> packed joint [..., D_total]."""
+        blocks, _ = self.block_slices()
+        parts = [rect[..., i, :d] for i, (off, d, kind) in enumerate(blocks)]
+        return jnp.concatenate(parts, axis=-1)
+
 
 def scene_field_planes(scene: CrowdedScene, vec, stamp, band):
     """Joint vector -> concatenated per-component planes over all sources
@@ -141,14 +174,15 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
     """
     from celeste_tpu.kernels.tiled_field import (
         TiledStampData,
+        scene_planes_blocked,
         scene_planes_padded,
         tiled_field_loglik,
     )
-    from celeste_tpu.parallel.tiles import build_tile_map
+    from celeste_tpu.parallel.tiles import build_block_tile_map, build_tile_map
 
     priors = priors or SourcePriors()
     kinds = set(scene.kinds)
-    assert len(kinds) == 1, "tiled path requires uniform source kind"
+    mixed = len(kinds) > 1
     from celeste_tpu.model.galaxy import N_GAL
     is_multi = isinstance(stamp, (list, tuple))
     stamps = list(stamp) if is_multi else [stamp]
@@ -157,8 +191,12 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
     assert all(s.psf.n_components == stamps[0].psf.n_components for s in stamps), (
         "all bands must share the PSF component count (the per-chain planes "
         "are reshaped with one n_comp)")
-    n_comp = (stamps[0].psf.n_components if scene.kinds[0] == "star"
-              else N_GAL * stamps[0].psf.n_components)
+    k_psf = stamps[0].psf.n_components
+    # mixed scenes go through the component-BLOCK layout (slots of width K;
+    # stars own 1 real block, galaxies N_GAL) so per-tile work tracks the
+    # true component count instead of padding stars to the galaxy width
+    n_comp = (k_psf if mixed or scene.kinds[0] == "star"
+              else N_GAL * k_psf)
     # positions_px: one [S, 2] array shared across bands (synthetic scenes,
     # co-registered cutouts) or a per-band list — real multi-band frames
     # have per-band WCS/cutout origins, so pass per-band positions there or
@@ -175,14 +213,20 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
             f"ambiguous — pass a LIST of per-band [S, 2] arrays)")
     datas = []
     for st, pos in zip(stamps, pos_per_band):
-        tm = build_tile_map(pos, radii_px, np.asarray(st.counts).shape,
-                            s_max=s_max)
+        shape = np.asarray(st.counts).shape
+        if mixed:
+            tm = build_block_tile_map(pos, radii_px, scene.kinds, shape,
+                                      n_blocks_gal=N_GAL, s_max=s_max)
+        else:
+            tm = build_tile_map(pos, radii_px, shape, s_max=s_max)
         datas.append(TiledStampData(tm, st, n_buckets=n_buckets))
+
+    planes_fn = scene_planes_blocked if mixed else scene_planes_padded
 
     def logdensity(vec):
         ll = 0.0
         for st, b, data in zip(stamps, bands, datas):
-            planes = scene_planes_padded(scene, vec[None, :], st, b)
+            planes = planes_fn(scene, vec[None, :], st, b)
             ll = ll + tiled_field_loglik(planes, data, n_comp=n_comp)[0]
         blocks, _ = scene.block_slices()
         for (off, d, kind), params in zip(blocks, scene.unpack(vec)):
@@ -199,18 +243,54 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
     return logdensity, (datas if is_multi else datas[0])
 
 
+def crowded_rect_logprior(scene: CrowdedScene, vecs,
+                          priors: SourcePriors | None = None):
+    """Prior + log|det J| for the rectangular [..., S, GAL_D] crowded state
+    used by the sharded paths.  Star rows evaluate the star prior on their
+    first 2+B slots; their unused galaxy-shape slots get a standard-normal
+    anchor so the joint density stays proper under gradient samplers (the
+    likelihood is flat in those directions).  Returns [...] (batch shape).
+
+    Kinds are static here (runs OUTSIDE shard_map, where per-source Python
+    structure is fine); priors are negligible next to the pixel work.
+    """
+    priors = priors or SourcePriors()
+    nb = scene.n_bands
+    sd, gd = STAR_D(nb), GAL_D(nb)
+    lp = 0.0
+    for i, kind in enumerate(scene.kinds):
+        row = vecs[..., i, :]
+        if kind == "star":
+            v = row[..., :sd]
+            p = StarParams.from_vector(v, nb)
+            lp = lp + priors.star_logpdf(p)
+            lp = lp + StarParams.log_det_jacobian(v, nb)
+            pad = row[..., sd:gd]
+            lp = lp - 0.5 * jnp.sum(pad * pad, axis=-1)   # anchor
+        else:
+            p = GalaxyParams.from_vector(row, nb)
+            lp = lp + priors.galaxy_logpdf(p)
+            lp = lp + GalaxyParams.log_det_jacobian(row, nb)
+    return lp
+
+
 def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
                            *, n_bands: int | None = None):
     """Build the cross-chip likelihood: chains sharded over ``chains``,
     sources over ``sources``; per-device partial lambdas ``psum``'d over the
     source axis before the Poisson reduction.
 
-    Returns ``f(vecs [B, S, D_s]) -> [B]`` (requires uniform source kind so
-    the per-source vector width is rectangular; mixed scenes use the
-    single-chip path or pad to the galaxy width).
+    Returns ``f(vecs [B, S, D_s]) -> [B]``.  Uniform-kind scenes take the
+    narrow-width fast path (D_s = kind width); MIXED scenes take the
+    rectangular layout (D_s = GAL_D, star rows padded; see
+    ``CrowdedScene.to_rect``) with a traced per-source is_star flag sharded
+    along ``sources`` — the kind pattern differs across shards, so it must
+    be data for the program to stay SPMD.
     """
+    from celeste_tpu.kernels.mog_field import mixed_field_planes
+
     kinds = set(scene.kinds)
-    assert len(kinds) == 1, "sharded path requires uniform source kind"
+    mixed = len(kinds) > 1
     kind = scene.kinds[0]
     nb = n_bands or scene.n_bands
     pd = stamp_pixel_data(stamp)
@@ -218,38 +298,44 @@ def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
     n_src = scene.n_sources
     s_shard = mesh.shape["sources"]
     assert n_src % s_shard == 0, f"{n_src} sources over {s_shard} shards"
+    is_star = jnp.asarray(scene.is_star_flags)
 
-    def local_lambda(vecs_local, stamp_, pix):
+    def local_lambda(vecs_local, flags_local, stamp_, pix):
         """[B_loc, S_loc, D] -> partial lambda [B_loc, PIX] (no sky)."""
         px_, py_ = pix
 
         def chain_lambda(vs):
-            def one_source(v):
-                amp, mx, my, pa, pb, pc = _field_planes(v, stamp_, band, kind, nb)
+            def one_source(v, flag):
+                if mixed:
+                    amp, mx, my, pa, pb, pc = mixed_field_planes(
+                        v, stamp_, band, nb, flag)
+                else:
+                    amp, mx, my, pa, pb, pc = _field_planes(
+                        v, stamp_, band, kind, nb)
                 dx = px_[0][None, :] - mx[:, None]
                 dy = py_[0][None, :] - my[:, None]
                 quad = (pa[:, None] * dx * dx + 2.0 * pb[:, None] * dx * dy
                         + pc[:, None] * dy * dy)
                 return jnp.sum(amp[:, None] * jnp.exp(-0.5 * quad), axis=0)
 
-            return jnp.sum(jax.vmap(one_source)(vs), axis=0)
+            return jnp.sum(jax.vmap(one_source)(vs, flags_local), axis=0)
 
         return jax.vmap(chain_lambda)(vecs_local)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("chains", "sources", None),),
+        in_specs=(P("chains", "sources", None), P("sources")),
         out_specs=P("chains"),
         check_vma=False,
     )
-    def sharded_ll(vecs):
-        lam_part = local_lambda(vecs, stamp, (px, py))          # [B_loc, PIX]
+    def sharded_ll(vecs, flags):
+        lam_part = local_lambda(vecs, flags, stamp, (px, py))   # [B_loc, PIX]
         lam = jax.lax.psum(lam_part, axis_name="sources") + sky
         lam = jnp.maximum(lam, LAMBDA_MIN)
         ll = (counts * jnp.log(lam) - lam) * mask
         return jnp.sum(ll, axis=-1)
 
-    return sharded_ll
+    return lambda vecs: sharded_ll(vecs, is_star)
 
 
 def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
@@ -265,19 +351,26 @@ def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
     reduction runs locally.  Chains shard over the orthogonal ``chains``
     axis and never communicate.
 
-    Returns ``f(vecs [B, S, D_s]) -> [B]``.  Uniform source kind; the
-    per-shard tile maps are built host-side from ``positions_px`` with a
-    COMMON s_max so the program stays SPMD.
+    Returns ``f(vecs [B, S, D_s]) -> [B]``.  The per-shard tile maps are
+    built host-side from ``positions_px`` with a COMMON s_max so the
+    program stays SPMD; the tables are sharded DATA, so they may differ per
+    shard even though the program is uniform.  Uniform-kind scenes index
+    tiles by source (D_s = kind width); MIXED scenes use the rectangular
+    layout (D_s = GAL_D, ``CrowdedScene.to_rect``) with component-BLOCK
+    tile tables (tiles.build_block_tile_map) and a traced per-source
+    is_star flag — per-tile work tracks the true component count, so stars
+    never pay the galaxy width in the kernel.
     """
     from celeste_tpu.kernels.tiled_field import (
         TiledStampData,
-        tiled_field_render,
+        tiled_field_render_explicit,
     )
-    from celeste_tpu.kernels.mog_field import _field_planes
-    from celeste_tpu.parallel.tiles import build_tile_map
+    from celeste_tpu.kernels.mog_field import _field_planes, mixed_field_planes
+    from celeste_tpu.model.galaxy import N_GAL
+    from celeste_tpu.parallel.tiles import build_block_tile_map, build_tile_map
 
     kinds = set(scene.kinds)
-    assert len(kinds) == 1, "sharded tiled path requires uniform source kind"
+    mixed = len(kinds) > 1
     kind = scene.kinds[0]
     nb = n_bands or scene.n_bands
     n_src = scene.n_sources
@@ -289,58 +382,58 @@ def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
     assert pos.shape == (n_src, 2), (
         f"positions_px must be [{n_src}, 2]; got {pos.shape}")
     radii = np.broadcast_to(np.asarray(radii_px, np.float64), (n_src,))
+    k_psf = stamp.psf.n_components
 
     # per-shard tile maps over the SAME tiling (same T); pad every shard's
-    # table to the common s_max with its own sentinel (= s_loc) so the
-    # program stays SPMD without rebuilding the maps
-    tms = [build_tile_map(pos[i * s_loc:(i + 1) * s_loc],
-                          radii[i * s_loc:(i + 1) * s_loc], shape)
-           for i in range(s_shard)]
+    # table to the common s_max with its own sentinel so the program stays
+    # SPMD without rebuilding the maps
+    def shard_tm(i):
+        sl = slice(i * s_loc, (i + 1) * s_loc)
+        if mixed:
+            return build_block_tile_map(pos[sl], radii[sl], scene.kinds[sl],
+                                        shape, n_blocks_gal=N_GAL)
+        return build_tile_map(pos[sl], radii[sl], shape)
+
+    tms = [shard_tm(i) for i in range(s_shard)]
     s_max = max(tm.s_max for tm in tms)
+    sentinel = s_loc * N_GAL if mixed else s_loc
     tables = [np.pad(tm.tile_src, ((0, 0), (0, s_max - tm.s_max)),
-                     constant_values=s_loc) for tm in tms]
-    datas = [TiledStampData(tm, stamp) for tm in tms]
+                     constant_values=sentinel) for tm in tms]
     # stack per-shard tile tables: [n_shards, T, s_max] (sharded input)
     tile_src_all = jnp.asarray(np.stack(tables), jnp.int32)
-    ref_data = datas[0]
-    px, py, counts_t, sky_t, mask_t = ref_data.pixels
-
-    import types
-
-    class _ShardData:
-        """Duck-typed TiledStampData carrying a traced tile table (only the
-        attributes tiled_field_render reads).  tile_map.s_max must be the
-        COMMON padded width, not shard 0's own (they can differ)."""
-
-        def __init__(self, tile_src):
-            self.tile_map = types.SimpleNamespace(
-                s_max=s_max, n_tiles=ref_data.tile_map.n_tiles)
-            self.tile_src = tile_src
-            self.pixels = ref_data.pixels
+    px, py, counts_t, sky_t, mask_t = TiledStampData(tms[0], stamp).pixels
+    n_comp = k_psf if mixed or kind == "star" else N_GAL * k_psf
+    is_star = jnp.asarray(scene.is_star_flags)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("chains", "sources", None), P("sources", None, None)),
+        in_specs=(P("chains", "sources", None), P("sources", None, None),
+                  P("sources")),
         out_specs=P("chains"),
         check_vma=False,
     )
-    def sharded_ll(vecs, tile_src_shard):
-        # local planes: [B_loc, S_loc, D] -> [B_loc, (S_loc+1)*C]
+    def sharded_ll(vecs, tile_src_shard, flags):
+        # local planes: [B_loc, S_loc, D] -> [B_loc, (n_slots+1)*n_comp]
         def one_chain(vs):
-            per = jax.vmap(lambda v: _field_planes(v, stamp, band, kind, nb))(vs)
+            if mixed:
+                per = jax.vmap(lambda v, f: mixed_field_planes(
+                    v, stamp, band, nb, f))(vs, flags)   # [S_loc, N_GAL*K]
+            else:
+                per = jax.vmap(
+                    lambda v: _field_planes(v, stamp, band, kind, nb))(vs)
             out = []
             for p in per:
+                p = p.reshape(-1, n_comp)                # [n_slots, n_comp]
                 p = jnp.concatenate([p, jnp.zeros_like(p[:1])], axis=0)
                 out.append(p.reshape(-1))
             return tuple(out)
 
         planes = jax.vmap(one_chain)(vecs)
-        data = _ShardData(tile_src_shard[0])
-        c = planes[0].shape[1] // (vecs.shape[1] + 1)
-        lam_part = tiled_field_render(planes, data, n_comp=c)   # [T, B_loc, PIX]
+        lam_part = tiled_field_render_explicit(
+            planes, tile_src_shard[0], px, py, n_comp=n_comp, s_max=s_max)
         lam = jax.lax.psum(lam_part, axis_name="sources") + sky_t[:, None, :]
         lam = jnp.maximum(lam, LAMBDA_MIN)
         ll = (counts_t[:, None, :] * jnp.log(lam) - lam) * mask_t[:, None, :]
         return jnp.sum(ll, axis=(0, 2))                          # [B_loc]
 
-    return lambda vecs: sharded_ll(vecs, tile_src_all)
+    return lambda vecs: sharded_ll(vecs, tile_src_all, is_star)

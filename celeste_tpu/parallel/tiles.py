@@ -94,6 +94,43 @@ def build_tile_map(positions_px, radii_px, shape, s_max: int | None = None) -> T
                    tile_src=tile_src, n_dropped=n_dropped)
 
 
+def build_block_tile_map(positions_px, radii_px, kinds, shape,
+                         n_blocks_gal: int, s_max: int | None = None) -> TileMap:
+    """Component-BLOCK tile map for mixed star/galaxy scenes.
+
+    The tiled kernels treat the parameter planes as uniform slots of width
+    K (the PSF component count).  A galaxy has N_GAL * K components =
+    ``n_blocks_gal`` blocks; a star has K = 1 block.  To keep the plane
+    layout rectangular (and SPMD across source shards), EVERY source owns
+    ``n_blocks_gal`` slot ids — source i's block j is slot
+    ``i * n_blocks_gal + j`` — but only its REAL blocks ever appear in a
+    tile list, so per-tile work tracks the true component count (stars
+    don't pay the galaxy width in the hot loop).  The sentinel/padding slot
+    is ``S * n_blocks_gal``; unused star slots hold zero-amplitude planes
+    and are simply never referenced.
+    """
+    pos = np.asarray(positions_px, np.float64).reshape(-1, 2)
+    s = pos.shape[0]
+    assert len(kinds) == s, (len(kinds), s)
+    rad = np.broadcast_to(np.asarray(radii_px, np.float64), (s,))
+    slot_ids, block_pos, block_rad = [], [], []
+    for i, kind in enumerate(kinds):
+        nb = 1 if kind == "star" else n_blocks_gal
+        for j in range(nb):
+            slot_ids.append(i * n_blocks_gal + j)
+            block_pos.append(pos[i])
+            block_rad.append(rad[i])
+    tm = build_tile_map(np.asarray(block_pos), np.asarray(block_rad), shape,
+                        s_max=s_max)
+    # remap local real-block indices -> global slot ids (sentinel last)
+    lut = np.asarray(slot_ids + [s * n_blocks_gal], np.int32)
+    tile_src = lut[tm.tile_src]
+    return TileMap(h=tm.h, w=tm.w, h_pad=tm.h_pad, w_pad=tm.w_pad,
+                   n_ty=tm.n_ty, n_tx=tm.n_tx, s_max=tm.s_max,
+                   n_sources=s * n_blocks_gal, tile_src=tile_src,
+                   n_dropped=tm.n_dropped)
+
+
 def tile_field_arrays(tm: TileMap, *arrays, pad_values):
     """Reshape [H, W] field arrays into [T, PIX_PER_TILE] tile-major order.
     ``pad_values`` gives the fill value per array (sky pads with 1.0 to
