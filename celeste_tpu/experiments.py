@@ -18,6 +18,7 @@ metrics.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -274,13 +275,23 @@ def run_experiment(cfg: ExperimentConfig):
     if cfg.resume:
         init, start_seg, _ = load_checkpoint(cfg.resume, init)
         logger.log("resume", path=cfg.resume, segment=start_seg)
+        # reload the pre-resume segments so the saved artifact and the
+        # summary cover the FULL chain, not just the post-resume tail
+        seg_path = cfg.resume + ".segments.npz"
+        if os.path.exists(seg_path):
+            with np.load(seg_path) as f:
+                chunks = [jnp.asarray(f[f"seg_{i}"]) for i in range(start_seg)]
+        else:
+            chunks = []
+            logger.log("resume_without_segments", path=seg_path,
+                       note="statistics will cover post-resume samples only")
     else:
         start_seg = 0
+        chunks = []
 
     seg = cfg.checkpoint_every if cfg.checkpoint_every > 0 else cfg.n_steps
     assert cfg.n_steps % seg == 0, "checkpoint_every must divide n_steps"
     n_segments = cfg.n_steps // seg
-    chunks = []
     state = init
     for s_i in range(start_seg, n_segments):
         k_seg = jax.random.fold_in(k3, s_i)
@@ -288,12 +299,22 @@ def run_experiment(cfg: ExperimentConfig):
             k_seg, kern, state, n_steps=seg, thin=cfg.thin)
         chunks.append(samples_seg)
         if cfg.checkpoint_every > 0 and cfg.out:
-            save_checkpoint(cfg.out + f".ckpt.npz", state, step=s_i + 1)
+            ckpt = cfg.out + ".ckpt.npz"
+            save_checkpoint(ckpt, state, step=s_i + 1)
+            # per-segment samples ride next to the checkpoint (atomic)
+            seg_arrays = {f"seg_{i}": np.asarray(c) for i, c in enumerate(chunks)}
+            tmp = ckpt + ".segments.tmp.npz"
+            np.savez(tmp, **seg_arrays)
+            os.replace(tmp, ckpt + ".segments.npz")
             logger.log("checkpoint", segment=s_i + 1)
     if not chunks:
         raise SystemExit(
             f"nothing to run: checkpoint is at segment {start_seg} of "
-            f"{n_segments}; raise n_steps to continue the chain")
+            f"{n_segments} and no per-segment samples were found next to it; "
+            f"raise n_steps to continue the chain")
+    if start_seg >= n_segments:
+        logger.log("already_complete", segments=n_segments,
+                   note="no new sampling; re-summarizing the stored chain")
     samples = jnp.concatenate(chunks, axis=1)
     kept_from = samples.shape[1] // 4
     kept = samples[:, kept_from:]

@@ -45,14 +45,31 @@ def save_checkpoint(path: str, state, step: int | None = None, extra: dict | Non
 
 def load_checkpoint(path: str, like):
     """Load into the structure of ``like`` (a pytree with the same treedef
-    used at save time).  Returns (state, step, extra)."""
+    used at save time).  Returns (state, step, extra).
+
+    Validates structure, not just leaf count: a different treedef (or
+    different leaf shapes/dtypes) with the same number of leaves would
+    silently map arrays into the wrong slots and break the bitwise-resume
+    guarantee, so both are checked against the save-time record.
+    """
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["__meta__"]))
     flat_like, treedef = jax.tree_util.tree_flatten(like)
     n = meta["n_leaves"]
-    assert n == len(flat_like), (
-        f"checkpoint has {n} leaves, target structure has {len(flat_like)}"
-    )
+    if n != len(flat_like):
+        raise ValueError(
+            f"checkpoint has {n} leaves, target structure has {len(flat_like)}")
+    if meta.get("treedef") is not None and meta["treedef"] != str(treedef):
+        raise ValueError(
+            "checkpoint treedef does not match the target structure:\n"
+            f"  saved:  {meta['treedef']}\n  target: {treedef}")
     leaves = [data[f"leaf_{i}"] for i in range(n)]
+    for i, (leaf, ref) in enumerate(zip(leaves, flat_like)):
+        ref_shape = tuple(np.shape(ref))
+        ref_dtype = np.result_type(getattr(ref, "dtype", type(ref)))
+        if tuple(leaf.shape) != ref_shape or np.dtype(leaf.dtype) != ref_dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} is {leaf.dtype}{list(leaf.shape)} but "
+                f"the target slot expects {ref_dtype}{list(ref_shape)}")
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     return state, meta.get("step"), meta.get("extra", {})

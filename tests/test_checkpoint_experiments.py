@@ -27,11 +27,48 @@ def test_experiment_checkpoint_and_resume(tmp_path):
               for l in open(out2 + ".metrics.jsonl").read().splitlines()]
     assert "resume" in events
 
-    # resuming a completed run exits with a clear message
+    # the resumed run's artifact covers the FULL chain (pre-resume segments
+    # reloaded from the sidecar, ADVICE r1), and the pre-resume samples are
+    # byte-identical to run 1's
+    assert res2["samples"].shape[1] == 400
+    np.testing.assert_array_equal(res2["samples"][:, :200], res1["samples"])
+
+    # resuming a completed run re-summarizes the stored full chain (the
+    # segments sidecar makes this possible); without the sidecar it exits
+    res3 = main(["config=star_single", "n_chains=6", "n_steps=200",
+                 "checkpoint_every=100", f"resume={out1}.ckpt.npz",
+                 f"out={str(tmp_path / 'c')}"])
+    np.testing.assert_array_equal(res3["samples"], res1["samples"])
+    os.remove(out1 + ".ckpt.npz.segments.npz")
     with pytest.raises(SystemExit):
         main(["config=star_single", "n_chains=6", "n_steps=200",
               "checkpoint_every=100", f"resume={out1}.ckpt.npz",
-              f"out={str(tmp_path / 'c')}"])
+              f"out={str(tmp_path / 'd')}"])
+
+
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    """Same leaf COUNT but different treedef / shapes / dtypes must fail
+    loudly, not silently map arrays into the wrong slots (ADVICE r1)."""
+    import jax.numpy as jnp
+    from celeste_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "s.npz")
+    state = {"a": jnp.arange(3, dtype=jnp.float32), "b": jnp.zeros((2, 2))}
+    save_checkpoint(path, state, step=1)
+
+    # same structure: loads fine
+    got, step, _ = load_checkpoint(path, state)
+    assert step == 1 and np.allclose(np.asarray(got["a"]), [0, 1, 2])
+
+    # different treedef, same leaf count
+    with pytest.raises(ValueError, match="treedef"):
+        load_checkpoint(path, {"a": state["a"], "c": state["b"]})
+    # same treedef, wrong shape
+    with pytest.raises(ValueError, match="leaf"):
+        load_checkpoint(path, {"a": jnp.zeros(4, jnp.float32), "b": state["b"]})
+    # same treedef/shape, wrong dtype
+    with pytest.raises(ValueError, match="leaf"):
+        load_checkpoint(path, {"a": jnp.zeros(3, jnp.int32), "b": state["b"]})
 
 
 def test_regression_gate(tmp_path, monkeypatch):
