@@ -235,11 +235,41 @@ def _bench_config5_tiled(n_chains=1024, n_steps=128, n_warmup=150):
     return rate_min, div, parity
 
 
+def _bench_pipeline_walltime():
+    """End-to-end catalog pipeline wall time (VERDICT r1 #5: the classify
+    stage is now ONE vmapped device call per sweep; this records what the
+    whole pixels->catalog flow costs on the chip, compiles included)."""
+    from celeste_tpu.data.synthetic import (
+        galaxy_source, make_synthetic_stamp, star_source,
+    )
+    from celeste_tpu.model.priors import FluxPrior, SourcePriors
+    from celeste_tpu.pipeline import PipelineConfig, run_pipeline
+
+    cosd = np.cos(np.deg2rad(10.0))
+    srcs = [
+        star_source(u=(30.0 - 3.5 / 3600 / cosd, 10.0 - 2.0 / 3600), flux_r=35.0),
+        star_source(u=(30.0 + 3.0 / 3600 / cosd, 10.0 + 2.5 / 3600), flux_r=25.0),
+        galaxy_source(u=(30.0, 10.0), flux_r=70.0, sigma=1.8, ab=0.6),
+    ]
+    scene = make_synthetic_stamp(srcs, shape=(33, 33), bands=(2,), seed=101)
+    priors = SourcePriors(flux=FluxPrior(log_ref_mean=3.2, log_ref_std=2.0))
+    cfg = PipelineConfig(max_sources=5, n_chains=32, n_warmup=150, n_steps=250,
+                         map_steps=250, seed=3, detection_min_separation=7)
+    t = time.time()
+    catalog, artifacts = run_pipeline(scene.stamps[0], band=0, n_bands=1,
+                                      cfg=cfg, priors=priors)
+    dt = time.time() - t
+    print(f"# pipeline (3-src mixed field, detect+classify+NUTS): {dt:.1f}s "
+          f"wall, {artifacts['n_sources']} sources", file=sys.stderr)
+    return dt
+
+
 def main():
     evals_rate = _bench_evals_per_sec()
     ess_rate = _bench_ess_per_sec()
     tiled_rate = _bench_tiled_field()
     ess_tiled, div_tiled, parity_tiled = _bench_config5_tiled()
+    pipeline_s = _bench_pipeline_walltime()
     oracle_crowded = 6.0  # min ESS/sec, oracle slice, 6-star field (BASELINE.md)
     print(json.dumps({
         "metric": "single-stamp likelihood evals/sec/chip",
@@ -252,6 +282,7 @@ def main():
         "ess_per_sec_tiled": ess_tiled,
         "tiled_divergence_frac": div_tiled,
         "tiled_dense_parity": parity_tiled,
+        "pipeline_wall_time_s": pipeline_s,
         "backend": jax.default_backend(),
     }))
 

@@ -93,12 +93,12 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
     stamp drives detection (use the deepest band).
     """
     from celeste_tpu.inference.model_select import laplace_evidence
-    from celeste_tpu.inference.problems import (
-        make_galaxy_logdensity,
-        make_star_logdensity,
+    from celeste_tpu.kernels.mog_field import (
+        _field_planes,
+        _loglik_jnp,
+        mixed_field_planes,
+        stamp_pixel_data,
     )
-    from celeste_tpu.likelihood.poisson import poisson_loglik
-    from celeste_tpu.model import expected_image
     from celeste_tpu.model.params import GalaxyParams, StarParams
     from celeste_tpu.model.stamp import Stamp
     from celeste_tpu.mog import eval_grid
@@ -111,6 +111,104 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
     priors = priors or SourcePriors()
     key = jax.random.key(cfg.seed)
     det = stamps[detect_band_index]
+    ds, dg = 2 + n_bands, 6 + n_bands
+    pds = [stamp_pixel_data(st) for st in stamps]      # (px,py,counts,sky,mask)
+    shapes = [np.asarray(st.counts).shape for st in stamps]
+    gal_shape_init = np.array([0.0, 0.0, 0.0, 0.5], np.float32)
+
+    # ---- jitted batch machinery (each compiled ONCE per pipeline run; the
+    # host loops below only make decisions — SURVEY.md §3.2/§3.3, VERDICT r1
+    # #5: no per-candidate compiles on a remote-compile TPU) ---------------
+
+    def _lam_from_planes(planes, px, py):
+        """[C] planes -> sky-free lambda [PIX]."""
+        amp, mx, my, pa, pb, pc = planes
+        dx = px[0][None, :] - mx[:, None]
+        dy = py[0][None, :] - my[:, None]
+        quad = (pa[:, None] * dx * dx + 2.0 * pb[:, None] * dx * dy
+                + pc[:, None] * dy * dy)
+        return jnp.sum(amp[:, None] * jnp.exp(-0.5 * quad), axis=0)
+
+    def _cond_logd(kind):
+        """Conditional log density of one candidate given per-stamp
+        effective skies (other sources folded in) as TRACED data."""
+        def logd(x, effs):
+            ll = 0.0
+            for pd, st, b, eff in zip(pds, stamps, bands, effs):
+                px, py, counts, _, mask = pd
+                planes = _field_planes(x, st, b, kind, n_bands)
+                planes_b = tuple(p[None] for p in planes)
+                ll = ll + _loglik_jnp(*planes_b, px, py, counts, eff[None],
+                                      mask)[0]
+            if kind == "star":
+                p = StarParams.from_vector(x, n_bands)
+                lp = priors.star_logpdf(p) + StarParams.log_det_jacobian(x, n_bands)
+            else:
+                p = GalaxyParams.from_vector(x, n_bands)
+                lp = priors.galaxy_logpdf(p) + GalaxyParams.log_det_jacobian(x, n_bands)
+            return ll + lp
+        return logd
+
+    _logd_s, _logd_g = _cond_logd("star"), _cond_logd("galaxy")
+
+    @jax.jit
+    def det_fit(x0, counts_list):
+        """Detection-stage star MAP on residual counts (traced data) ->
+        (x_map, per-stamp sky-free lambda of the fit)."""
+        def logd(x):
+            ll = 0.0
+            for pd, st, b, cts in zip(pds, stamps, bands, counts_list):
+                px, py, _, sky, mask = pd
+                planes = _field_planes(x, st, b, "star", n_bands)
+                planes_b = tuple(p[None] for p in planes)
+                ll = ll + _loglik_jnp(*planes_b, px, py, cts[None], sky,
+                                      mask)[0]
+            p = StarParams.from_vector(x, n_bands)
+            return (ll + priors.star_logpdf(p)
+                    + StarParams.log_det_jacobian(x, n_bands))
+
+        x_map, _ = map_fit(logd, x0, n_steps=cfg.map_steps)
+        lams = []
+        for pd, st, b in zip(pds, stamps, bands):
+            planes = _field_planes(x_map, st, b, "star", n_bands)
+            lams.append(_lam_from_planes(planes, pd[0], pd[1]))
+        return x_map, lams
+
+    @jax.jit
+    def classify_sweep_batch(rects, flags, alive):
+        """One Jacobi classification sweep over ALL candidates at once.
+
+        rects [N, Dg] rectangular candidate states (stars padded),
+        flags/alive [N] bool.  Returns per-candidate star fit + evidence,
+        galaxy fit + evidence, and the source-free conditional evidence.
+        """
+        effs_per_stamp = []
+        for pd, st, b in zip(pds, stamps, bands):
+            lam_all = jax.vmap(lambda r, f: _lam_from_planes(
+                mixed_field_planes(r, st, b, n_bands, f), pd[0], pd[1])
+            )(rects, flags)                                   # [N, PIX]
+            lam_alive = jnp.where(alive[:, None], lam_all, 0.0)
+            total = jnp.sum(lam_alive, axis=0)                # [PIX]
+            effs_per_stamp.append(pd[3][0][None, :] + total[None, :] - lam_alive)
+
+        def per_cand(rect, *effs):
+            xs, _ = map_fit(lambda x: _logd_s(x, effs), rect[:ds],
+                            n_steps=cfg.map_steps)
+            lz_s = laplace_evidence(lambda x: _logd_s(x, effs), xs)
+            if cfg.classify:
+                xg, _ = map_fit(lambda x: _logd_g(x, effs), rect,
+                                n_steps=cfg.map_steps)
+                lz_g = laplace_evidence(lambda x: _logd_g(x, effs), xg)
+            else:
+                xg, lz_g = jnp.zeros(dg, rect.dtype), -jnp.inf
+            lz_0 = 0.0
+            for pd, eff in zip(pds, effs):
+                _, _, counts, _, mask = pd
+                lz_0 = lz_0 + jnp.sum(
+                    (counts[0] * jnp.log(eff) - eff) * mask[0])
+            return xs, lz_s, xg, lz_g, lz_0
+
+        return jax.vmap(per_cand)(rects, *effs_per_stamp)
 
     # -- 1. iterative detect -> star-MAP -> subtract (CLEAN-style) --------
     psf_peak = float(eval_grid(det.psf, jnp.zeros(()), jnp.zeros(())))
@@ -120,10 +218,6 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
 
     def with_counts(st, counts):
         return Stamp(jnp.asarray(counts, jnp.float32), st.sky, st.iota, st.mask,
-                     st.psf, st.wcs_A, st.wcs_p0, st.band)
-
-    def with_sky(st, sky):
-        return Stamp(st.counts, jnp.asarray(sky, jnp.float32), st.iota, st.mask,
                      st.psf, st.wcs_A, st.wcs_p0, st.band)
 
     work = [np.array(np.asarray(st.counts), np.float64) for st in stamps]
@@ -142,14 +236,14 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
         flux0 = peak_val / (iota_det * psf_peak)
         x0 = jnp.asarray(np.concatenate(
             [du, np.full(n_bands, np.log(flux0))]), jnp.float32)
-        resid_stamps = [with_counts(st, w) for st, w in zip(stamps, work)]
-        logd_one = make_star_logdensity(resid_stamps, bands=bands, priors=priors,
-                                        n_bands=n_bands)
-        x_map, _ = map_fit(logd_one, x0, n_steps=cfg.map_steps)
-        params = StarParams.from_vector(x_map, n_bands)
-        for k, (st, w) in enumerate(zip(resid_stamps, work)):
-            lam = np.asarray(expected_image([params], st, band=bands[k]), np.float64)
-            work[k] = w - (lam - skies[k])
+        counts_list = tuple(
+            jnp.asarray(np.pad(w.ravel(), (0, pd[0].shape[1] - w.size)),
+                        jnp.float32)
+            for w, pd in zip(work, pds))
+        x_map, lams = det_fit(x0, counts_list)
+        for k, (shape, lam) in enumerate(zip(shapes, lams)):
+            h, w_ = shape
+            work[k] = work[k] - np.asarray(lam[: h * w_], np.float64).reshape(h, w_)
         star_maps.append(np.asarray(x_map))
         snr_log.append(float(snrs[0]))
     n_cand = len(star_maps)
@@ -158,45 +252,34 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
         return [], {"n_sources": 0}
 
     # -- 2. conditional classification sweeps + merging + pruning ----------
+    # Jacobi block-coordinate ascent: every sweep re-decides ALL candidates
+    # against the PREVIOUS sweep's scene in ONE vmapped device call (the
+    # reference's celeste_em sweeps were Gauss-Seidel; Jacobi trades a
+    # little per-sweep progress for O(1) compiles and full batching).
     cand = [{"kind": "star", "x": np.asarray(m), "p": 1.0, "alive": True}
             for m in star_maps]
 
-    def model_lambda(c, st, b):
-        params = (StarParams.from_vector(jnp.asarray(c["x"]), n_bands)
-                  if c["kind"] == "star"
-                  else GalaxyParams.from_vector(jnp.asarray(c["x"]), n_bands))
-        return np.asarray(expected_image([params], st, band=b), np.float64)
+    def _rect_of(c):
+        r = np.zeros(dg, np.float32)
+        if c["kind"] == "star":
+            r[:ds] = c["x"][:ds]
+            r[ds:] = gal_shape_init      # galaxy-fit init for star candidates
+        else:
+            r[:] = c["x"]
+        return r
 
     for sweep in range(cfg.classify_sweeps):
+        rects = jnp.asarray(np.stack([_rect_of(c) for c in cand]))
+        flags = jnp.asarray([c["kind"] == "star" for c in cand])
+        alive_m = jnp.asarray([c["alive"] for c in cand])
+        xs_b, lz_s_b, xg_b, lz_g_b, lz_0_b = jax.tree_util.tree_map(
+            np.asarray, classify_sweep_batch(rects, flags, alive_m))
         for i, ci in enumerate(cand):
             if not ci["alive"]:
                 continue
-            cond_stamps = []
-            effs = []
-            for k, st in enumerate(stamps):
-                eff = np.array(skies[k])
-                for j, cj in enumerate(cand):
-                    if j != i and cj["alive"]:
-                        eff += model_lambda(cj, st, bands[k]) - skies[k]
-                effs.append(jnp.asarray(eff, jnp.float32))
-                cond_stamps.append(with_sky(st, eff))
-            logd_s = make_star_logdensity(cond_stamps, bands=bands, priors=priors,
-                                          n_bands=n_bands)
-            x0_star = jnp.asarray(ci["x"][: 2 + n_bands])
-            xs, _ = map_fit(logd_s, x0_star, n_steps=cfg.map_steps)
-            lz_s = float(laplace_evidence(logd_s, xs))
-            if cfg.classify:
-                logd_g = make_galaxy_logdensity(cond_stamps, bands=bands,
-                                                priors=priors, n_bands=n_bands)
-                x0_gal = (jnp.asarray(ci["x"]) if ci["kind"] == "galaxy"
-                          else jnp.concatenate(
-                              [x0_star, jnp.asarray([0.0, 0.0, 0.0, 0.5])]))
-                xg, _ = map_fit(logd_g, x0_gal, n_steps=cfg.map_steps)
-                lz_g = float(laplace_evidence(logd_g, xg))
-            else:
-                xg, lz_g = None, -np.inf
-            lz_0 = sum(float(poisson_loglik(e, cs.counts, cs.mask))
-                       for e, cs in zip(effs, cond_stamps))
+            lz_s, lz_g, lz_0 = float(lz_s_b[i]), float(lz_g_b[i]), float(lz_0_b[i])
+            if not cfg.classify:
+                lz_g = -np.inf
             if max(lz_s, lz_g) < lz_0 + cfg.prune_min_evidence:
                 ci["alive"] = False
                 continue
@@ -206,15 +289,15 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
             # call galaxy when p_star < sigmoid(-m))
             p = float(jax.nn.sigmoid(lz_s - lz_g)) if cfg.classify else 1.0
             ci["p"] = p
-            sigma_fit = (float(np.exp(np.asarray(xg)[3 + n_bands]))
+            sigma_fit = (float(np.exp(xg_b[i][3 + n_bands]))
                          if cfg.classify else 0.0)
             is_galaxy = (cfg.classify
                          and lz_g > lz_s + cfg.galaxy_margin_nats
                          and sigma_fit > cfg.galaxy_sigma_min_arcsec)
             if is_galaxy:
-                ci["kind"], ci["x"] = "galaxy", np.asarray(xg)
+                ci["kind"], ci["x"] = "galaxy", np.asarray(xg_b[i])
             else:
-                ci["kind"], ci["x"] = "star", np.asarray(xs)
+                ci["kind"], ci["x"] = "star", np.asarray(xs_b[i])
         # merge pass: a fitted galaxy owns its interior — candidates whose
         # centers fall within merge_sigma_factor x sigma of a brighter
         # galaxy are halo fragments, not sources.

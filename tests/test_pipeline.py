@@ -98,3 +98,30 @@ def test_multiband_pipeline():
     for b in range(5):
         truth = src["flux"][b]
         assert abs(float(e.flux_mean[b]) - truth) / truth < 0.25, (b, e.flux_mean, src["flux"])
+
+
+def test_pipeline_compile_count_is_o1(mixed_field, caplog):
+    """VERDICT r1 #5 gate: the classify stage compiles ONE batched sweep
+    function (and detection ONE fit function) regardless of candidate count
+    and sweep count — no per-candidate jit calls."""
+    import logging
+
+    import jax
+
+    scene, _ = mixed_field
+    cfg = PipelineConfig(max_sources=5, n_chains=4, n_warmup=40, n_steps=60,
+                         map_steps=60, classify_sweeps=3, seed=3,
+                         detection_min_separation=7)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        with caplog.at_level(logging.WARNING, logger="jax"):
+            run_pipeline(scene.stamps[0], band=0, n_bands=1, cfg=cfg,
+                         priors=PRIORS)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+    msgs = [r.getMessage() for r in caplog.records
+            if "Finished XLA compilation" in r.getMessage()]
+    n_sweep = sum("classify_sweep_batch" in m for m in msgs)
+    n_det = sum("det_fit" in m for m in msgs)
+    assert n_sweep == 1, f"classify compiled {n_sweep}x: {msgs}"
+    assert n_det == 1, f"detection fit compiled {n_det}x"
