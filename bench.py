@@ -37,7 +37,7 @@ def _bench_evals_per_sec():
     n = 65536
     vecs = jnp.asarray(base[None, :] + 0.05 * rng.normal(size=(n, 7)), jnp.float32)
 
-    best = 0.0
+    rates = {}
     for impl in ("pallas", "jnp"):
         f = jax.jit(lambda v, impl=impl: batched_stamp_loglik(
             v, stamp, band=2, kind="star", impl=impl))
@@ -49,8 +49,8 @@ def _bench_evals_per_sec():
         out.block_until_ready()
         rate = n * iters / (time.time() - t)
         print(f"# evals/sec impl={impl}: {rate:.3e}", file=sys.stderr)
-        best = max(best, rate)
-    return best
+        rates[impl] = rate
+    return rates
 
 
 def _bench_ess_per_sec():
@@ -265,7 +265,8 @@ def _bench_pipeline_walltime():
 
 
 def main():
-    evals_rate = _bench_evals_per_sec()
+    rates = _bench_evals_per_sec()
+    evals_rate = max(rates.values())
     ess_rate = _bench_ess_per_sec()
     tiled_rate = _bench_tiled_field()
     ess_tiled, div_tiled, parity_tiled = _bench_config5_tiled()
@@ -276,6 +277,8 @@ def main():
         "value": evals_rate,
         "unit": "evals/s",
         "vs_baseline": evals_rate / ORACLE_EVAL_RATE,
+        "evals_per_sec_pallas": rates["pallas"],
+        "evals_per_sec_jnp": rates["jnp"],
         "ess_per_sec_crowded": ess_rate,
         "ess_vs_oracle": ess_rate / oracle_crowded,
         "tiled_field_evals_per_sec": tiled_rate,

@@ -28,4 +28,8 @@ from celeste_tpu.parallel.crowded import (  # noqa: F401
     sharded_tiled_crowded_loglik,
 )
 from celeste_tpu.parallel import collectives  # noqa: F401
+from celeste_tpu.parallel.pt_sharded import (  # noqa: F401
+    sharded_pt_init,
+    sharded_pt_kernel,
+)
 from celeste_tpu.parallel.tiles import build_block_tile_map, build_tile_map  # noqa: F401

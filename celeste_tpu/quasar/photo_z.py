@@ -135,3 +135,61 @@ def run_photo_z(key, basis: QuasarBasis, filters: FilterBank, flux_obs, flux_err
         "swap_rate": (jnp.sum(swaps.astype(jnp.float32))
                       / jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0)),
     }
+
+
+def run_photo_z_sharded(key, basis: QuasarBasis, filters: FilterBank,
+                        flux_obs, flux_err, mesh,
+                        cfg: PhotoZConfig = PhotoZConfig(),
+                        axis_name: str = "temps"):
+    """``run_photo_z`` with the temperature LADDER sharded over a mesh axis
+    (cross-device swaps: one tiny all_gather of the [T] log densities + one
+    ppermute edge exchange per step — parallel.pt_sharded).
+
+    Prefer this over the in-device vmapped ladder when one replica's state
+    or per-move work is big enough that the whole ladder no longer fits or
+    no longer saturates a single chip; for photo-z's tiny D it exists as
+    the wiring pattern (and is numerically the SAME chain, see the parity
+    test).  Systems run sequentially (the mesh is spent on the ladder).
+    """
+    from celeste_tpu.parallel.pt_sharded import sharded_pt_init, sharded_pt_kernel
+
+    k = basis.n_basis
+    d = k + 1
+    logd = make_photo_z_logdensity(basis, filters, flux_obs, flux_err, cfg)
+    betas = geometric_ladder(cfg.n_temps, cfg.beta_min)
+    if cfg.inner == "hmc":
+        inner = hmc_at_beta(logd, cfg.hmc_step_size, jnp.ones(d, jnp.float32),
+                            n_leapfrog=cfg.hmc_n_leapfrog)
+    elif cfg.inner == "slice":
+        inner = slice_at_beta(logd, jnp.full((d,), 1.0, jnp.float32))
+    else:
+        raise ValueError(f"unknown inner kernel {cfg.inner!r}; use 'slice' or 'hmc'")
+    kernel = sharded_pt_kernel(logd, inner, betas, mesh, axis_name=axis_name)
+
+    k_init, k_run = jax.random.split(key)
+    init_vecs = jax.random.normal(k_init, (cfg.n_systems, cfg.n_temps, d)) * jnp.asarray(
+        [2.0] + [1.0] * (k - 1) + [1.0], jnp.float32
+    )
+
+    def run_system(key_s, xs0):
+        state = sharded_pt_init(xs0, logd)
+
+        def step(s, key_t):
+            s, info = kernel(key_t, s)
+            return s, (s.xs[0], info.swap_accept, info.swap_active)
+
+        keys = jax.random.split(key_s, cfg.n_steps)
+        with mesh:
+            state, out = jax.lax.scan(step, state, keys)
+        return out
+
+    outs = [run_system(ks, init_vecs[i])
+            for i, ks in enumerate(jax.random.split(k_run, cfg.n_systems))]
+    cold_xs, swaps, active = (jnp.stack([o[j] for o in outs]) for j in range(3))
+    kept = cold_xs[:, cfg.n_warmup:]
+    z, w, m = constrain(kept, k, cfg.z_max)
+    return {
+        "z": z, "w": w, "m": m, "vec": kept,
+        "swap_rate": (jnp.sum(swaps.astype(jnp.float32))
+                      / jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0)),
+    }
