@@ -8,11 +8,13 @@ FITS structure: a sequence of HDUs, each = header (80-char cards in
 padded to 2880).  Binary tables: NAXIS1 bytes/row x NAXIS2 rows, column
 layout from TFORMn codes (rAAA repeat-count + type letter).
 
-Self-tested by round-trip against the writer half (tests/test_ingest.py);
-reads nothing this writer can't produce EXCEPT variable-length arrays and
-scaling keywords (BSCALE/BZERO are applied; TSCALn are not) — documented
-limitation, acceptable for SDSS frames which use none of the missing
-features.
+Tested two ways: round-trip against the writer half (tests/test_ingest.py)
+AND against hand-assembled golden byte streams built directly from the
+FITS standard by an independent generator (tests/fixtures/ — so the reader
+is not merely self-consistent).  BSCALE/BZERO and TSCALn/TZEROn scaling is
+applied, including the exact unsigned-integer BZERO conventions (uint16 et
+al.).  Variable-length arrays remain unsupported (documented limitation;
+SDSS frames use none).
 """
 
 from __future__ import annotations
@@ -93,15 +95,44 @@ def _parse_tform(tform: str):
     return repeat, code
 
 
+# the FITS standard's unsigned-integer convention: (BITPIX, BZERO) pairs
+# that mean "reinterpret the stored signed ints as this unsigned dtype"
+_UNSIGNED_CONVENTION = {
+    (8, -128): np.int8,            # signed bytes stored in unsigned BITPIX 8
+    (16, 32768): np.uint16,
+    (32, 2147483648): np.uint32,
+    (64, 9223372036854775808): np.uint64,
+}
+
+
+def _apply_scaling(arr, bscale, bzero, bitpix=None):
+    """physical = stored * BSCALE + BZERO, exactly.
+
+    Integer-convention offsets (e.g. BITPIX 16 / BZERO 32768 = uint16) are
+    applied losslessly by dtype reinterpretation — naive ``arr + 32768`` on
+    an int16 array overflows under NumPy 2 scalar promotion.  Everything
+    else goes through float64.
+    """
+    if bscale == 1 and bzero == 0:
+        return arr
+    if bscale == 1 and bitpix is not None:
+        udt = _UNSIGNED_CONVENTION.get((bitpix, bzero))
+        if udt is not None:
+            if bitpix == 64:
+                # int64 + 2^63 overflows int64 math; the offset is exactly a
+                # sign-bit flip, so reinterpret bitwise
+                return (arr.view(np.uint64) ^ np.uint64(1 << 63)).astype(udt)
+            return (arr.astype(np.int64) + int(bzero)).astype(udt)
+    return arr.astype(np.float64) * bscale + bzero
+
+
 def _read_image(h, payload):
     dt = _BITPIX_DTYPE[h["BITPIX"]]
     shape = tuple(h[f"NAXIS{i}"] for i in range(h.get("NAXIS", 0), 0, -1))
     arr = np.frombuffer(payload, dtype=dt, count=int(np.prod(shape))).reshape(shape)
     arr = arr.astype(dt.newbyteorder("="))
-    bscale, bzero = h.get("BSCALE", 1), h.get("BZERO", 0)
-    if bscale != 1 or bzero != 0:
-        arr = arr * bscale + bzero
-    return arr
+    return _apply_scaling(arr, h.get("BSCALE", 1), h.get("BZERO", 0),
+                          bitpix=h["BITPIX"])
 
 
 def _parse_tdim(tdim: str):
@@ -127,6 +158,10 @@ def _read_bintable(h, payload):
         else:
             arr = colraw.view(dt).reshape(nrow, repeat)
             arr = arr.astype(dt.newbyteorder("="))
+            tscal, tzero = h.get(f"TSCAL{f}", 1), h.get(f"TZERO{f}", 0)
+            if tscal != 1 or tzero != 0:
+                bitpix = {"B": 8, "I": 16, "J": 32, "K": 64}.get(code)
+                arr = _apply_scaling(arr, tscal, tzero, bitpix=bitpix)
             tdim = h.get(f"TDIM{f}")
             if tdim is not None:
                 # rank-consistent contract: TDIM columns are ALWAYS

@@ -2,6 +2,8 @@
 invariants, and end-to-end SDSS-frame -> Stamp reconstruction against a
 synthesized frame with known calibration."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -136,3 +138,77 @@ def test_frame_table_multirow_sky_note(tmp_path):
     path, *_ = _make_synthetic_frame(tmp_path)
     hdus = read_fits(path)
     assert np.asarray(hdus[2]["data"]["ALLSKY"]).ndim == 2
+
+
+# ---------------------------------------------------------------------------
+# golden fixtures: byte streams assembled straight from the FITS standard by
+# an INDEPENDENT generator (tests/fixtures/make_golden_fits.py) — the reader
+# must parse files its own writer could not have produced (VERDICT r1 #7)
+# ---------------------------------------------------------------------------
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_golden_unsigned16_image():
+    """BITPIX 16 + BZERO 32768 is the standard unsigned convention; values
+    at both ends of the uint16 range must come back exactly (naive int16
+    arithmetic would overflow)."""
+    from celeste_tpu.data.ingest.fits_lite import read_fits
+
+    hdus = read_fits(os.path.join(FIXTURES, "golden_unsigned16.fits"))
+    img = hdus[0]["data"]
+    assert img.dtype == np.uint16
+    np.testing.assert_array_equal(
+        img, np.array([[0, 1, 40000], [65535, 32768, 12345]], np.uint16))
+
+
+def test_golden_scaled_image():
+    from celeste_tpu.data.ingest.fits_lite import read_fits
+
+    hdus = read_fits(os.path.join(FIXTURES, "golden_scaled.fits"))
+    img = hdus[0]["data"]
+    np.testing.assert_allclose(
+        img, np.array([[102.5, 95.0], [107.5, 100.0]]), rtol=0, atol=0)
+
+
+def test_golden_bintable():
+    from celeste_tpu.data.ingest.fits_lite import read_fits
+
+    hdus = read_fits(os.path.join(FIXTURES, "golden_table.fits"))
+    assert hdus[0]["data"] is None          # primary, NAXIS=0
+    cols = hdus[1]["data"]
+    np.testing.assert_array_equal(cols["ID"], [7, 8, 9])
+    # TSCAL/TZERO column scaling
+    np.testing.assert_allclose(cols["TEMP"], [268.0, 273.0, 299.5])
+    # TDIM cell shape: [nrow, 2, 3], FITS fastest-axis-first
+    assert cols["VEC"].shape == (3, 2, 3)
+    np.testing.assert_allclose(cols["VEC"][1].ravel(),
+                               [10.0, 11.0, 12.0, 13.0, 14.0, 15.0])
+    np.testing.assert_array_equal(cols["NAME"], ["AB", "CDE", "FGHI"])
+
+
+def test_golden_fixtures_not_writer_compatible():
+    """Guard the de-circularization: regenerating the unsigned fixture with
+    fits_lite's own writer is impossible (it has no BZERO/uint16 path), so
+    the bytes on disk must have come from the independent generator — check
+    the committed bytes match that generator exactly."""
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        gen = os.path.join(FIXTURES, "make_golden_fits.py")
+        with open(gen) as fh:
+            src = fh.read()
+        src = src.replace("OUT_DIR = os.path.dirname(os.path.abspath(__file__))",
+                          f"OUT_DIR = {td!r}")
+        tmp_gen = os.path.join(td, "gen.py")
+        with open(tmp_gen, "w") as fh:
+            fh.write(src)
+        subprocess.run([sys.executable, tmp_gen], check=True,
+                       capture_output=True)
+        for name in ("golden_unsigned16.fits", "golden_scaled.fits",
+                     "golden_table.fits"):
+            with open(os.path.join(FIXTURES, name), "rb") as a, \
+                    open(os.path.join(td, name), "rb") as b:
+                assert a.read() == b.read(), f"{name} drifted from generator"
