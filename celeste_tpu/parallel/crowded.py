@@ -340,7 +340,8 @@ def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
 
 def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
                                  positions_px, radii_px=12.0,
-                                 *, n_bands: int | None = None):
+                                 *, n_bands: int | None = None,
+                                 n_buckets: int = 1, impl: str = "pallas"):
     """The full composition (SURVEY.md §5.7 + §5.8): block-sparse TILING x
     source sharding x chain sharding.
 
@@ -399,20 +400,52 @@ def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
     sentinel = s_loc * N_GAL if mixed else s_loc
     tables = [np.pad(tm.tile_src, ((0, 0), (0, s_max - tm.s_max)),
                      constant_values=sentinel) for tm in tms]
-    # stack per-shard tile tables: [n_shards, T, s_max] (sharded input)
-    tile_src_all = jnp.asarray(np.stack(tables), jnp.int32)
     px, py, counts_t, sky_t, mask_t = TiledStampData(tms[0], stamp).pixels
+    n_tiles = tms[0].n_tiles
     n_comp = k_psf if mixed or kind == "star" else N_GAL * k_psf
     is_star = jnp.asarray(scene.is_star_flags)
 
+    # ---- occupancy bucketing with a COMMON bucket STRUCTURE (VERDICT r1
+    # #6): bucket count, per-bucket tile count and s_cap are static and
+    # identical on every shard (SPMD); WHICH tiles land in which bucket is
+    # per-shard DATA (gather indices).  Shards with fewer tiles in a bucket
+    # pad with a scratch tile (index n_tiles, all-sentinel row) whose
+    # render is zero and lands in a discarded scatter slot.
+    occ = [np.sum(t != sentinel, axis=1) for t in tables]       # per shard [T]
+    if n_buckets > 1 and n_tiles >= 2:
+        all_occ = np.concatenate(occ)
+        qs = np.quantile(all_occ, np.linspace(0, 1, n_buckets + 1)[1:-1])
+        caps = sorted(set(max(1, int(np.ceil(q))) for q in qs) | {s_max})
+    else:
+        caps = [s_max]
+    bucket_of = [np.searchsorted(caps, o) for o in occ]         # cap idx per tile
+    buckets = []                # (idx [n_shards, T_b], table [n_shards, T_b, cap])
+    for b, cap in enumerate(caps):
+        sel = [np.where(bo == b)[0] for bo in bucket_of]
+        t_b = max(len(s) for s in sel)
+        if t_b == 0:
+            continue
+        idx = np.full((s_shard, t_b), n_tiles, np.int32)        # scratch pad
+        tab = np.full((s_shard, t_b, cap), sentinel, np.int32)
+        for i, s in enumerate(sel):
+            idx[i, : len(s)] = s
+            tab[i, : len(s)] = tables[i][s][:, :cap]
+        buckets.append((jnp.asarray(idx), jnp.asarray(tab)))
+    bucket_caps = tuple(b[1].shape[2] for b in buckets)
+    # pixel coords padded with the scratch row
+    px_pad = jnp.concatenate([px, jnp.zeros_like(px[:1])], axis=0)
+    py_pad = jnp.concatenate([py, jnp.zeros_like(py[:1])], axis=0)
+
+    bucket_specs = tuple((P("sources", None), P("sources", None, None))
+                         for _ in buckets)
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("chains", "sources", None), P("sources", None, None),
-                  P("sources")),
+        in_specs=(P("chains", "sources", None), bucket_specs, P("sources")),
         out_specs=P("chains"),
         check_vma=False,
     )
-    def sharded_ll(vecs, tile_src_shard, flags):
+    def sharded_ll(vecs, bucket_data, flags):
         # local planes: [B_loc, S_loc, D] -> [B_loc, (n_slots+1)*n_comp]
         def one_chain(vs):
             if mixed:
@@ -429,11 +462,20 @@ def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
             return tuple(out)
 
         planes = jax.vmap(one_chain)(vecs)
-        lam_part = tiled_field_render_explicit(
-            planes, tile_src_shard[0], px, py, n_comp=n_comp, s_max=s_max)
+        b_loc = vecs.shape[0]
+        pix = px.shape[1]
+        lam_full = jnp.zeros((n_tiles + 1, b_loc, pix), jnp.float32)
+        for (idx_s, tab_s), cap in zip(bucket_data, bucket_caps):
+            idx, tab = idx_s[0], tab_s[0]
+            lam_b = tiled_field_render_explicit(
+                planes, tab, px_pad[idx], py_pad[idx],
+                n_comp=n_comp, s_max=cap, impl=impl)     # [T_b, B_loc, PIX]
+            lam_full = lam_full.at[idx].add(lam_b)
+        lam_part = lam_full[:n_tiles]
         lam = jax.lax.psum(lam_part, axis_name="sources") + sky_t[:, None, :]
         lam = jnp.maximum(lam, LAMBDA_MIN)
         ll = (counts_t[:, None, :] * jnp.log(lam) - lam) * mask_t[:, None, :]
         return jnp.sum(ll, axis=(0, 2))                          # [B_loc]
 
-    return lambda vecs: sharded_ll(vecs, tile_src_all, is_star)
+    bucket_arrays = tuple(buckets)
+    return lambda vecs: sharded_ll(vecs, bucket_arrays, is_star)
