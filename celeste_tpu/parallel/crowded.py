@@ -341,7 +341,8 @@ def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
 def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
                                  positions_px, radii_px=12.0,
                                  *, n_bands: int | None = None,
-                                 n_buckets: int = 1, impl: str = "pallas"):
+                                 n_buckets: int = 1, impl: str = "pallas",
+                                 chain_chunk: int | None = None):
     """The full composition (SURVEY.md §5.7 + §5.8): block-sparse TILING x
     source sharding x chain sharding.
 
@@ -446,7 +447,7 @@ def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
         check_vma=False,
     )
     def sharded_ll(vecs, bucket_data, flags):
-        # local planes: [B_loc, S_loc, D] -> [B_loc, (n_slots+1)*n_comp]
+        # local planes: [B_chunk, S_loc, D] -> [B_chunk, (n_slots+1)*n_comp]
         def one_chain(vs):
             if mixed:
                 per = jax.vmap(lambda v, f: mixed_field_planes(
@@ -461,21 +462,40 @@ def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
                 out.append(p.reshape(-1))
             return tuple(out)
 
-        planes = jax.vmap(one_chain)(vecs)
+        def chunk_ll(vecs_chunk):
+            planes = jax.vmap(one_chain)(vecs_chunk)
+            b_c = vecs_chunk.shape[0]
+            pix = px.shape[1]
+            lam_full = jnp.zeros((n_tiles + 1, b_c, pix), jnp.float32)
+            for (idx_s, tab_s), cap in zip(bucket_data, bucket_caps):
+                idx, tab = idx_s[0], tab_s[0]
+                lam_b = tiled_field_render_explicit(
+                    planes, tab, px_pad[idx], py_pad[idx],
+                    n_comp=n_comp, s_max=cap, impl=impl)  # [T_b, B_c, PIX]
+                lam_full = lam_full.at[idx].add(lam_b)
+            lam_part = lam_full[:n_tiles]
+            lam = jax.lax.psum(lam_part, axis_name="sources") + sky_t[:, None, :]
+            lam = jnp.maximum(lam, LAMBDA_MIN)
+            ll = (counts_t[:, None, :] * jnp.log(lam) - lam) * mask_t[:, None, :]
+            return jnp.sum(ll, axis=(0, 2))                      # [B_c]
+
+        # chunk the chain axis: the [T, B, PIX] lambda tiles must cross ICI
+        # but need not all exist at once — unchunked, a 64-src field at
+        # B=256 blows the 16 MB VMEM budget (measured: 74.9M scoped alloc)
         b_loc = vecs.shape[0]
         pix = px.shape[1]
-        lam_full = jnp.zeros((n_tiles + 1, b_loc, pix), jnp.float32)
-        for (idx_s, tab_s), cap in zip(bucket_data, bucket_caps):
-            idx, tab = idx_s[0], tab_s[0]
-            lam_b = tiled_field_render_explicit(
-                planes, tab, px_pad[idx], py_pad[idx],
-                n_comp=n_comp, s_max=cap, impl=impl)     # [T_b, B_loc, PIX]
-            lam_full = lam_full.at[idx].add(lam_b)
-        lam_part = lam_full[:n_tiles]
-        lam = jax.lax.psum(lam_part, axis_name="sources") + sky_t[:, None, :]
-        lam = jnp.maximum(lam, LAMBDA_MIN)
-        ll = (counts_t[:, None, :] * jnp.log(lam) - lam) * mask_t[:, None, :]
-        return jnp.sum(ll, axis=(0, 2))                          # [B_loc]
+        if chain_chunk is None:
+            budget = 1 << 21                            # ~2 MB of lambda tiles
+            target = max(1, min(b_loc, budget // max(1, n_tiles * pix * 4)))
+        else:
+            target = min(chain_chunk, b_loc)
+        # largest divisor of b_loc not exceeding the target (static shapes)
+        chunk = max(d for d in range(1, target + 1) if b_loc % d == 0)
+        if chunk == b_loc:
+            return chunk_ll(vecs)
+        out = jax.lax.map(chunk_ll, vecs.reshape(b_loc // chunk, chunk,
+                                                 *vecs.shape[1:]))
+        return out.reshape(b_loc)
 
     bucket_arrays = tuple(buckets)
     return lambda vecs: sharded_ll(vecs, bucket_arrays, is_star)

@@ -133,11 +133,63 @@ def golden_bintable() -> bytes:
     return prim + h + payload(rows)
 
 
+def golden_boss_spec() -> bytes:
+    """A miniature spec-PLATE-MJD-FIBER.fits per the SDSS-III data model:
+    primary + COADD bintable (FLUX/LOGLAM/IVAR/AND_MASK, one row per pixel)
+    + one-row SPALL bintable (Z/ZWARNING/CLASS).
+
+    64 pixels, loglam from log10(3800) step 1e-4 (the BOSS constant);
+    flux = 5 + a gaussian emission line at pixel 32, ivar = 4 except
+    pixels 10 (ivar 0) and 20 (AND_MASK set); Z = 2.5, CLASS = 'QSO'.
+    """
+    npix = 64
+    loglam0 = 3.5797835966168101  # log10(3800.0)
+    loglam = [loglam0 + 1e-4 * i for i in range(npix)]
+    flux = [5.0 + 10.0 * 2.718281828459045 ** (-0.5 * ((i - 32) / 3.0) ** 2)
+            for i in range(npix)]
+    ivar = [4.0] * npix
+    ivar[10] = 0.0
+    and_mask = [0] * npix
+    and_mask[20] = 2 ** 16      # e.g. BRIGHTSKY
+
+    prim = header([kv("SIMPLE", "T"), kv("BITPIX", "8"), kv("NAXIS", "0")])
+    rowbytes = 4 + 4 + 4 + 4
+    coadd = header([
+        card("XTENSION= 'BINTABLE'"),
+        kv("BITPIX", "8"), kv("NAXIS", "2"),
+        kv("NAXIS1", str(rowbytes)), kv("NAXIS2", str(npix)),
+        kv("PCOUNT", "0"), kv("GCOUNT", "1"), kv("TFIELDS", "4"),
+        card("EXTNAME = 'COADD'"),
+        card("TTYPE1  = 'FLUX'"), card("TFORM1  = '1E'"),
+        card("TTYPE2  = 'LOGLAM'"), card("TFORM2  = '1E'"),
+        card("TTYPE3  = 'IVAR'"), card("TFORM3  = '1E'"),
+        card("TTYPE4  = 'AND_MASK'"), card("TFORM4  = '1J'"),
+    ])
+    rows = b""
+    for i in range(npix):
+        rows += struct.pack(">fffi", flux[i], loglam[i], ivar[i], and_mask[i])
+    coadd += payload(rows)
+
+    spall = header([
+        card("XTENSION= 'BINTABLE'"),
+        kv("BITPIX", "8"), kv("NAXIS", "2"),
+        kv("NAXIS1", str(4 + 4 + 6)), kv("NAXIS2", "1"),
+        kv("PCOUNT", "0"), kv("GCOUNT", "1"), kv("TFIELDS", "3"),
+        card("EXTNAME = 'SPALL'"),
+        card("TTYPE1  = 'Z'"), card("TFORM1  = '1E'"),
+        card("TTYPE2  = 'ZWARNING'"), card("TFORM2  = '1J'"),
+        card("TTYPE3  = 'CLASS'"), card("TFORM3  = '6A'"),
+    ])
+    spall += payload(struct.pack(">fi", 2.5, 0) + b"QSO   ")
+    return prim + coadd + spall
+
+
 def main():
     for name, data in [
         ("golden_unsigned16.fits", golden_unsigned16_image()),
         ("golden_scaled.fits", golden_scaled_float_image()),
         ("golden_table.fits", golden_bintable()),
+        ("golden_boss_spec.fits", golden_boss_spec()),
     ]:
         with open(os.path.join(OUT_DIR, name), "wb") as fh:
             fh.write(data)

@@ -208,7 +208,47 @@ def test_golden_fixtures_not_writer_compatible():
         subprocess.run([sys.executable, tmp_gen], check=True,
                        capture_output=True)
         for name in ("golden_unsigned16.fits", "golden_scaled.fits",
-                     "golden_table.fits"):
+                     "golden_table.fits", "golden_boss_spec.fits"):
             with open(os.path.join(FIXTURES, name), "rb") as a, \
                     open(os.path.join(td, name), "rb") as b:
                 assert a.read() == b.read(), f"{name} drifted from generator"
+
+
+def test_golden_boss_spec_through_preprocess():
+    """C16 de-circularized: a spec-PLATE-MJD-FIBER-layout file built
+    independently from the SDSS data model flows through load_boss_spec and
+    the full preprocessing pipeline."""
+    from celeste_tpu.data.ingest.boss import load_boss_spec
+    from celeste_tpu.quasar.preprocess import (
+        build_training_matrix, normalize_spectra, resample_to_rest,
+    )
+
+    spec = load_boss_spec(os.path.join(FIXTURES, "golden_boss_spec.fits"))
+    assert spec["z"] == 2.5 and spec["zwarning"] == 0
+    assert spec["class_"] == "QSO"
+    lam = spec["lam_obs"]
+    np.testing.assert_allclose(lam[0], 3800.0, rtol=1e-6)
+    # BOSS log10 grid: constant 1e-4 step in loglam (float32 storage
+    # quantizes each step to ~0.14%; the mean is exact)
+    np.testing.assert_allclose(np.diff(np.log10(lam)).mean(), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.diff(np.log10(lam)), 1e-4, rtol=5e-3)
+    # masking: ivar zeroed where IVAR==0 or AND_MASK != 0
+    assert spec["ivar"][10] == 0.0 and spec["ivar"][20] == 0.0
+    assert np.sum(spec["ivar"] == 0.0) == 2
+    # emission line present in the flux at pixel 32
+    assert spec["flux"][32] > spec["flux"][0] + 5.0
+
+    # rest-frame resample at the cataloged z: the line lands at
+    # lam_obs(32)/(1+z)
+    lam_grid = np.linspace(1050.0, 1130.0, 120)
+    f, w = resample_to_rest(lam, spec["flux"], spec["ivar"], spec["z"], lam_grid)
+    line_rest = lam[32] / (1.0 + spec["z"])
+    assert abs(lam_grid[np.argmax(f)] - line_rest) < 2.0
+    # masked pixels contributed nothing: total weight only from ivar>0
+    assert w.sum() > 0
+
+    # the full training-matrix path accepts the loaded dict as-is
+    mat_f, mat_w = build_training_matrix([spec], lam_grid)
+    nf, nw, scale = normalize_spectra(mat_f, mat_w, lam_grid,
+                                      window=(1060.0, 1120.0))
+    assert np.isfinite(nf).all() and float(scale[0]) > 0
