@@ -43,11 +43,17 @@ def pt_kernel(logdensity_fn: Callable, inner_kernel_fn: Callable, betas):
     ``inner_kernel_fn(beta)`` must return a ``(key, state)->(state, info)``
     kernel targeting ``beta * logdensity`` (plus any beta-independent prior
     terms the caller folds in); state must expose ``.x`` and ``.logp``
-    (MHState/SliceState/HMCState all qualify).
+    (MHState/SliceState/HMCState all qualify).  A factory may instead take
+    ``(beta, replica_idx)`` — the second argument is the traced ladder
+    index, letting per-replica tuned parameters (e.g. adapted step sizes,
+    ``hmc_at_beta_adaptive``) index their slot.
     ``betas`` is the [T] inverse-temperature ladder, betas[0] == 1.
     """
+    import inspect
+
     betas = jnp.asarray(betas, jnp.float32)
     t = betas.shape[0]
+    takes_idx = len(inspect.signature(inner_kernel_fn).parameters) >= 2
 
     def step(key, state: PTState):
         k_move, k_swap = jax.random.split(key)
@@ -55,13 +61,14 @@ def pt_kernel(logdensity_fn: Callable, inner_kernel_fn: Callable, betas):
         # (a) per-replica move at its own temperature.  The carried
         # untempered logp seeds the inner state directly — no re-evaluation
         # of the log density on entry (it is exact through moves and swaps).
-        def move(beta, key_r, x, lp):
-            kern = inner_kernel_fn(beta)
+        def move(beta, idx, key_r, x, lp):
+            kern = inner_kernel_fn(beta, idx) if takes_idx else inner_kernel_fn(beta)
             new, _ = kern.step(key_r, kern.init(x, lp))
             return new.x, new.logp / jnp.maximum(beta, 1e-12)
 
         keys = jax.random.split(k_move, t)
-        xs, logps = jax.vmap(move)(betas, keys, state.xs, state.logps)
+        xs, logps = jax.vmap(move)(betas, jnp.arange(t), keys,
+                                   state.xs, state.logps)
 
         # (b) even/odd adjacent swap sweep
         # pair i <-> i+1 for i in the active parity; accept with
@@ -149,6 +156,56 @@ def hmc_at_beta(logdensity_fn, step_size, inv_mass, n_leapfrog: int = 8,
         return _KernelBundle(init=init, step=kern)
 
     return factory
+
+
+def hmc_at_beta_adaptive(logdensity_fn, step_sizes, inv_masses,
+                         n_leapfrog: int = 8):
+    """Adapter: HMC inner kernels with PER-REPLICA adapted parameters
+    (from ``pt_warmup``) instead of the capped beta^(-1/4) heuristic of
+    ``hmc_at_beta`` — robust across SNR regimes where the heuristic's
+    one-size inflation collapses hot-replica acceptance.
+
+    ``step_sizes`` [T] and ``inv_masses`` [T, D] align with the ladder;
+    the factory takes ``(beta, replica_idx)`` (pt_kernel passes the traced
+    ladder index through)."""
+    from celeste_tpu.inference.hmc import HMCState, hmc_kernel
+
+    step_sizes = jnp.asarray(step_sizes, jnp.float32)
+    inv_masses = jnp.asarray(inv_masses, jnp.float32)
+
+    def factory(beta, idx):
+        tempered = lambda x: beta * logdensity_fn(x)
+        kern = hmc_kernel(tempered, step_sizes[idx], inv_masses[idx],
+                          n_leapfrog=n_leapfrog)
+
+        def init(x, lp):
+            return HMCState(x=x, logp=beta * lp, grad=jax.grad(tempered)(x))
+
+        return _KernelBundle(init=init, step=kern)
+
+    return factory
+
+
+def pt_warmup(key, logdensity_fn, xs0, betas, n_warmup: int = 200,
+              n_leapfrog: int = 8, target_accept: float = 0.8):
+    """Per-replica dual-averaging warmup for a tempered ladder: each
+    replica adapts its own HMC step size and diagonal mass against ITS
+    tempered target.  Returns (xs [T, D], step_sizes [T], inv_masses
+    [T, D]) ready for ``hmc_at_beta_adaptive`` + ``pt_init``."""
+    from celeste_tpu.inference.hmc import hmc_warmup
+
+    betas = jnp.asarray(betas, jnp.float32)
+    t = betas.shape[0]
+
+    def one(k, x, beta):
+        tempered = lambda v: beta * logdensity_fn(v)
+        state, ss, im = hmc_warmup(k, tempered, x, n_warmup=n_warmup,
+                                   n_leapfrog=n_leapfrog,
+                                   target_accept=target_accept)
+        return state.x, ss, im
+
+    keys = jax.random.split(key, t)
+    return jax.vmap(one)(keys, jnp.asarray(xs0), betas)
 
 
 def geometric_ladder(n_temps: int, beta_min: float = 0.05):

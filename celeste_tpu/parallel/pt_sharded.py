@@ -48,12 +48,15 @@ def sharded_pt_kernel(logdensity_fn, inner_kernel_fn, betas, mesh: Mesh,
     betas[0] == 1.  Returns ``(key, PTState) -> (PTState, PTInfo)`` where
     ``PTState.xs`` is [T, D] sharded along the ladder axis.
     """
+    import inspect
+
     betas_np = np.asarray(betas, np.float32)
     t = betas_np.shape[0]
     n_dev = mesh.shape[axis_name]
     assert t % n_dev == 0, f"{t} temps over {n_dev} devices"
     t_loc = t // n_dev
     betas_j = jnp.asarray(betas_np)
+    takes_idx = len(inspect.signature(inner_kernel_fn).parameters) >= 2
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -71,13 +74,15 @@ def sharded_pt_kernel(logdensity_fn, inner_kernel_fn, betas, mesh: Mesh,
         keys = jax.random.split(k_move, t)
         local_keys = jax.lax.dynamic_slice_in_dim(keys, d_idx * t_loc, t_loc)
         local_betas = jax.lax.dynamic_slice_in_dim(betas_j, d_idx * t_loc, t_loc)
+        local_idx = d_idx * t_loc + jnp.arange(t_loc)
 
-        def move(beta, key_r, x, lp):
-            kern = inner_kernel_fn(beta)
+        def move(beta, idx, key_r, x, lp):
+            kern = inner_kernel_fn(beta, idx) if takes_idx else inner_kernel_fn(beta)
             new, _ = kern.step(key_r, kern.init(x, lp))
             return new.x, new.logp / jnp.maximum(beta, 1e-12)
 
-        xs_l, logps_l = jax.vmap(move)(local_betas, local_keys, xs_l, logps_l)
+        xs_l, logps_l = jax.vmap(move)(local_betas, local_idx, local_keys,
+                                       xs_l, logps_l)
 
         # (b) swap sweep: the [T] log densities are T scalars — gather them
         # and make every accept decision redundantly on all devices

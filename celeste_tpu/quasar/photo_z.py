@@ -23,8 +23,10 @@ import jax.numpy as jnp
 from celeste_tpu.inference.tempering import (
     geometric_ladder,
     hmc_at_beta,
+    hmc_at_beta_adaptive,
     pt_init,
     pt_kernel,
+    pt_warmup,
     slice_at_beta,
 )
 from celeste_tpu.quasar.basis import QuasarBasis
@@ -43,9 +45,14 @@ class PhotoZConfig:
     n_steps: int = 1500
     n_warmup: int = 500
     n_systems: int = 8        # independent tempering systems (vmapped)
-    inner: str = "slice"      # 'slice' (reference parity) or 'hmc' (gradient)
+    # 'slice' (reference parity), 'hmc' (gradient, beta^(-1/4) step
+    # heuristic), or 'hmc_adaptive' (per-replica dual-averaging warmup —
+    # robust across SNR regimes where the heuristic collapses hot-replica
+    # acceptance)
+    inner: str = "slice"
     hmc_step_size: float = 0.01
     hmc_n_leapfrog: int = 8
+    pt_warmup_steps: int = 150   # hmc_adaptive only
 
 
 def split_vec(vec, n_basis: int):
@@ -103,9 +110,9 @@ def run_photo_z(key, basis: QuasarBasis, filters: FilterBank, flux_obs, flux_err
                             n_leapfrog=cfg.hmc_n_leapfrog)
     elif cfg.inner == "slice":
         inner = slice_at_beta(logd, jnp.full((d,), 1.0, jnp.float32))
-    else:
-        raise ValueError(f"unknown inner kernel {cfg.inner!r}; use 'slice' or 'hmc'")
-    kernel = pt_kernel(logd, inner, betas)
+    elif cfg.inner != "hmc_adaptive":
+        raise ValueError(f"unknown inner kernel {cfg.inner!r}; "
+                         "use 'slice', 'hmc', or 'hmc_adaptive'")
 
     k_init, k_run = jax.random.split(key)
     # init: spread zeta across the z range per replica/system
@@ -114,7 +121,17 @@ def run_photo_z(key, basis: QuasarBasis, filters: FilterBank, flux_obs, flux_err
     )
 
     def run_system(key_s, xs0):
-        state = pt_init(xs0, logd)
+        if cfg.inner == "hmc_adaptive":
+            k_w, key_s = jax.random.split(key_s)
+            xs_w, ss, im = pt_warmup(k_w, logd, xs0, betas,
+                                     n_warmup=cfg.pt_warmup_steps,
+                                     n_leapfrog=cfg.hmc_n_leapfrog)
+            kernel = pt_kernel(logd, hmc_at_beta_adaptive(
+                logd, ss, im, n_leapfrog=cfg.hmc_n_leapfrog), betas)
+            state = pt_init(xs_w, logd)
+        else:
+            kernel = pt_kernel(logd, inner, betas)
+            state = pt_init(xs0, logd)
 
         def step(s, key_t):
             s, info = kernel(key_t, s)
