@@ -218,14 +218,38 @@ def _tiled_fwd(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpret):
     return out, (planes, tile_src, pixel_tiles)
 
 
+def _bwd_chain_chunk(b: int, s_max: int, n_comp: int, pix: int) -> int:
+    """Chain-axis chunk for the dense-jnp backward: the VJP's [B, s*K, PIX]
+    intermediates hit ~0.5 GB/tile at B=1024 on production fields (measured
+    TPU device fault); bound them to ~32 MB.  Largest divisor of B under
+    the budget keeps shapes static."""
+    budget = (1 << 25) // max(1, s_max * n_comp * pix * 4)
+    target = max(1, min(b, budget))
+    return max(d for d in range(1, target + 1) if b % d == 0)
+
+
 def _tiled_bwd(n_comp, s_max, b_tile, interpret, residuals, g):
     planes, tile_src, pixel_tiles = residuals
+    b = planes[0].shape[0]
+    chunk = _bwd_chain_chunk(b, s_max, n_comp, pixel_tiles[0].shape[1])
 
-    def f(planes):
-        return _tiled_jnp(planes, tile_src, pixel_tiles, n_comp)
+    def one(args):
+        planes_c, g_c = args
 
-    _, vjp = jax.vjp(f, planes)
-    (d_planes,) = vjp(g)
+        def f(p):
+            return _tiled_jnp(p, tile_src, pixel_tiles, n_comp)
+
+        _, vjp = jax.vjp(f, planes_c)
+        return vjp(g_c)[0]
+
+    if chunk == b:
+        d_planes = one((planes, g))
+    else:
+        n_chunks = b // chunk
+        planes_r = tuple(p.reshape(n_chunks, chunk, -1) for p in planes)
+        g_r = g.reshape(n_chunks, chunk)
+        d_r = jax.lax.map(one, (planes_r, g_r))
+        d_planes = tuple(d.reshape(b, -1) for d in d_r)
     zeros_pix = jax.tree_util.tree_map(jnp.zeros_like, pixel_tiles)
     # integer primal -> float0 cotangent
     import numpy as np
@@ -394,12 +418,28 @@ def _tiled_render_fwd(planes, tile_src, px, py, n_comp, s_max, b_tile, interpret
 
 def _tiled_render_bwd(n_comp, s_max, b_tile, interpret, residuals, g):
     planes, tile_src, px, py = residuals
+    b = planes[0].shape[0]
+    chunk = _bwd_chain_chunk(b, s_max, n_comp, px.shape[1])
 
-    def f(planes):
-        return _tiled_render_jnp(planes, tile_src, px, py, n_comp)
+    def one(args):
+        planes_c, g_c = args
 
-    _, vjp = jax.vjp(f, planes)
-    (d_planes,) = vjp(g)
+        def f(p):
+            return _tiled_render_jnp(p, tile_src, px, py, n_comp)
+
+        _, vjp = jax.vjp(f, planes_c)
+        return vjp(g_c)[0]
+
+    if chunk == b:
+        d_planes = one((planes, g))
+    else:
+        n_chunks = b // chunk
+        planes_r = tuple(p.reshape(n_chunks, chunk, -1) for p in planes)
+        g_r = jnp.moveaxis(g, 1, 0).reshape(n_chunks, chunk, g.shape[0],
+                                            g.shape[2])
+        g_r = jnp.moveaxis(g_r, 2, 1)          # [n_chunks, T, chunk, PIX]
+        d_r = jax.lax.map(one, (planes_r, g_r))
+        d_planes = tuple(d.reshape(b, -1) for d in d_r)
     import numpy as _np
     return (d_planes, _np.zeros(tile_src.shape, dtype=jax.dtypes.float0),
             jnp.zeros_like(px), jnp.zeros_like(py))

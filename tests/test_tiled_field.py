@@ -167,3 +167,45 @@ def test_occupancy_buckets_parity(field_scene):
     c = np.asarray(tiled_field_loglik(planes, data1, n_comp=3, impl="jnp"))
     np.testing.assert_allclose(a, c, rtol=2e-6, atol=1.0)
     np.testing.assert_allclose(b, c, rtol=2e-6, atol=1.0)
+
+
+def test_tiled_grad_chunked_backward(field_scene, monkeypatch):
+    """The chain-chunked custom-VJP backward (bounds the [B, s*K, PIX]
+    intermediates that device-faulted at B=1024 on v5e) produces the same
+    gradients as the unchunked dense backward."""
+    import celeste_tpu.kernels.tiled_field as tf
+
+    scene_data, srcs = field_scene
+    scene, stamp, data, vecs, planes = _setup(scene_data, srcs)
+    # force chunking at this small B (6 chains -> chunks of 2)
+    monkeypatch.setattr(tf, "_bwd_chain_chunk", lambda b, *a: 2 if b % 2 == 0 else 1)
+
+    def f_tiled(vecs):
+        p = scene_planes_padded(scene, vecs, stamp, band=2)
+        return jnp.sum(tiled_field_loglik(p, data, n_comp=3))
+
+    def f_jnp(vecs):
+        p = scene_planes_padded(scene, vecs, stamp, band=2)
+        return jnp.sum(tiled_field_loglik(p, data, n_comp=3, impl="jnp"))
+
+    g1 = jax.grad(f_tiled)(vecs)
+    g2 = jax.grad(f_jnp)(vecs)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-4, atol=0.1)
+
+    # and through the render variant (the sharded-source building block)
+    from celeste_tpu.kernels.tiled_field import tiled_field_render
+
+    def r_tiled(vecs):
+        p = scene_planes_padded(scene, vecs, stamp, band=2)
+        return jnp.sum(tiled_field_render(p, data, n_comp=3) ** 2)
+
+    def r_jnp(vecs):
+        p = scene_planes_padded(scene, vecs, stamp, band=2)
+        return jnp.sum(tiled_field_render(p, data, n_comp=3, impl="jnp") ** 2)
+
+    h1 = jax.grad(r_tiled)(vecs)
+    h2 = jax.grad(r_jnp)(vecs)
+    # fp32 + XLA fuses the lax.map body differently from the flat program:
+    # measured 0.2% max relative reassociation noise on 1e7-scale grads
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                               rtol=5e-3, atol=10.0)
