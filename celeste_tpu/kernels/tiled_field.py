@@ -82,11 +82,52 @@ def _tiled_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,  # [1, B_t, S
     out_ref[0, 0, :] = jnp.sum(ll, axis=1)
 
 
+def _slot_quad(planes, col0, n_comp, t_px, t_py):
+    """One SOURCE slot's component block: (a [B,C], dx/dy/quad [B,C,PIX])
+    on the tile's pixels.  ``col0`` is the slot's first plane column
+    (contiguous block of n_comp columns)."""
+    def sl(p):
+        return jax.lax.dynamic_slice_in_dim(p, col0, n_comp, axis=1)
+
+    amp, mx, my, pa, pb, pc = planes
+    a = sl(amp)                                           # [B, C]
+    dx = t_px[None, None, :] - sl(mx)[:, :, None]         # [B, C, PIX]
+    dy = t_py[None, None, :] - sl(my)[:, :, None]
+    quad = (sl(pa)[:, :, None] * dx * dx
+            + 2.0 * sl(pb)[:, :, None] * dx * dy
+            + sl(pc)[:, :, None] * dy * dy)
+    return a, dx, dy, quad
+
+
+# slot count above which the scan path replaces the broadcast form (the
+# threshold is STATIC in the unbatched shapes, so the choice cannot be
+# fooled by vmap the way a batch-size test would be)
+_SCAN_COMP_THRESHOLD = 48
+
+
 def _tile_lambda_chains(planes, t_idx, t_px, t_py, n_comp):
     """Shared per-tile sky-free lambda for the jnp mirrors: [B, PIX] from
     6 x [B, (S+1)*C] planes and one tile's source indices.  Keep the
     quadratic-form convention here IN ONE PLACE (the Pallas kernels carry
-    the same math with the amplitude folded into the exponent)."""
+    the same math with the amplitude folded into the exponent).
+
+    Memory discipline: the broadcast form materializes [B, s_max*C, PIX] —
+    ~0.5 GB per tile at B=1024 on production fields, and because this
+    function is also the tiled kernels' autodiff backward (and gets vmapped
+    by the samplers, so a batch-size test could not see the blow-up), that
+    footprint device-faulted v5e during config-5 warmup.  Crowded tiles
+    (> _SCAN_COMP_THRESHOLD components) therefore take a scan-over-slots
+    path with a hand-written VJP (the slot sum is associative: each slot's
+    cotangents need only the lambda cotangent and a recomputed exp — no
+    per-step carries, which AD-of-scan would have stored).  Sparse tiles
+    keep the vectorized broadcast."""
+    if t_idx.shape[0] * n_comp <= _SCAN_COMP_THRESHOLD:
+        return _tile_lambda_chains_dense(planes, t_idx, t_px, t_py, n_comp)
+    return _tile_lambda_chains_scan(planes, t_idx, t_px, t_py, n_comp)
+
+
+def _tile_lambda_chains_dense(planes, t_idx, t_px, t_py, n_comp):
+    """Vectorized broadcast form (plain AD) for sparse tiles."""
     amp, mx, my, pa, pb, pc = planes
     cols = (t_idx[:, None] * n_comp + jnp.arange(n_comp)[None, :]).reshape(-1)
 
@@ -100,6 +141,71 @@ def _tile_lambda_chains(planes, t_idx, t_px, t_py, n_comp):
         return jnp.sum(a[:, None] * jnp.exp(-0.5 * quad), axis=0)
 
     return jax.vmap(chain)(amp, mx, my, pa, pb, pc)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _tile_lambda_chains_scan(planes, t_idx, t_px, t_py, n_comp):
+    """Scan-over-slots form with hand-written VJP (crowded tiles)."""
+    lam0 = jnp.zeros((planes[0].shape[0], t_px.shape[0]), planes[0].dtype)
+
+    def body(lam, col0):
+        a, _, _, quad = _slot_quad(planes, col0, n_comp, t_px, t_py)
+        return lam + jnp.sum(a[:, :, None] * jnp.exp(-0.5 * quad), axis=1), None
+
+    lam, _ = jax.lax.scan(body, lam0, t_idx * n_comp)
+    return lam
+
+
+def _tlc_fwd(planes, t_idx, t_px, t_py, n_comp):
+    return (_tile_lambda_chains_scan(planes, t_idx, t_px, t_py, n_comp),
+            (planes, t_idx, t_px, t_py))
+
+
+def _tlc_bwd(n_comp, residuals, g):
+    """g [B, PIX] -> plane cotangents, one slot at a time.
+
+    For lam = sum_k a_k exp(-q_k/2) with q = pa dx^2 + 2 pb dx dy + pc dy^2,
+    dx = px - mx:  d/da = e_k;  dL/dq = -a e_k g / 2;
+    dq/dpa = dx^2, dq/dpb = 2 dx dy, dq/dpc = dy^2;
+    dq/dmx = -(2 pa dx + 2 pb dy), dq/dmy = -(2 pb dx + 2 pc dy).
+    Scatter-adds handle repeated padding-slot columns exactly."""
+    planes, t_idx, t_px, t_py = residuals
+    amp, mx, my, pa, pb, pc = planes
+
+    def add_block(dest, col0, val):
+        cur = jax.lax.dynamic_slice_in_dim(dest, col0, n_comp, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(dest, cur + val, col0, axis=1)
+
+    def sl(p, col0):
+        return jax.lax.dynamic_slice_in_dim(p, col0, n_comp, axis=1)
+
+    def body(acc, col0):
+        d_amp, d_mx, d_my, d_pa, d_pb, d_pc = acc
+        a, dx, dy, quad = _slot_quad(planes, col0, n_comp, t_px, t_py)
+        e = jnp.exp(-0.5 * quad)
+        ge = g[:, None, :] * e                        # [B, C, PIX]
+        dq = -0.5 * ge * a[:, :, None]                # dL/dq per pixel
+        d_amp = add_block(d_amp, col0, jnp.sum(ge, axis=2))
+        d_pa = add_block(d_pa, col0, jnp.sum(dq * dx * dx, axis=2))
+        d_pb = add_block(d_pb, col0, jnp.sum(2.0 * dq * dx * dy, axis=2))
+        d_pc = add_block(d_pc, col0, jnp.sum(dq * dy * dy, axis=2))
+        pac = sl(pa, col0)[:, :, None]
+        pbc = sl(pb, col0)[:, :, None]
+        pcc = sl(pc, col0)[:, :, None]
+        d_mx = add_block(d_mx, col0, jnp.sum(
+            dq * (-2.0) * (pac * dx + pbc * dy), axis=2))
+        d_my = add_block(d_my, col0, jnp.sum(
+            dq * (-2.0) * (pbc * dx + pcc * dy), axis=2))
+        return (d_amp, d_mx, d_my, d_pa, d_pb, d_pc), None
+
+    zeros = tuple(jnp.zeros_like(p) for p in planes)
+    acc, _ = jax.lax.scan(body, zeros, t_idx * n_comp)
+    import numpy as _np
+    return (acc, _np.zeros(t_idx.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(t_px), jnp.zeros_like(t_py))
+
+
+_tile_lambda_chains_scan.defvjp(_tlc_fwd, _tlc_bwd)
 
 
 def _tiled_jnp(planes, tile_src, pixel_tiles, n_comp):
