@@ -184,9 +184,13 @@ def _bench_config5_tiled(n_chains=1024, n_steps=128, n_warmup=150):
     stamp = sd.stamps[0]
     pos_px = np.stack([np.asarray(stamp.duas2pixel(jnp.asarray(
         sd.wcs.equa2duas(s["u"]), jnp.float32))) for s in srcs])
+    # impl="jnp": the sampler vmaps this per-chain logdensity; the tiled
+    # jnp path (scan-VJP) batches cleanly under vmap while the pallas path
+    # pays a sublane pad per chain (see make_tiled_crowded_logdensity)
     logd, _ = make_tiled_crowded_logdensity(cs, stamp, band=0,
                                             positions_px=pos_px,
-                                            radii_px=14.0, n_buckets=2)
+                                            radii_px=14.0, n_buckets=2,
+                                            impl="jnp")
     logd_dense = make_crowded_logdensity(cs, [stamp], bands=[0])
 
     parts = []

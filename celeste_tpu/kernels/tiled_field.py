@@ -282,6 +282,12 @@ def _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, inte
     b = amp.shape[0]
     t = tile_src.shape[0]
     pix = pixel_tiles[0].shape[1]
+    # adapt the block to the actual batch: samplers vmap a per-chain (b=1)
+    # logdensity, and padding b=1 to a 128-row block BEFORE vmap batching
+    # multiplies both compute and the gathered planes by 128x per chain
+    # (measured: 2.4 GB of gathered planes -> device fault at 1024 chains);
+    # 8 is the f32 sublane minimum
+    b_tile = min(b_tile, ((b + 7) // 8) * 8)
     b_pad = ((b + b_tile - 1) // b_tile) * b_tile
     planes = [_pad_axis(p, b_pad, 0) for p in planes]
     gathered = _gather_tile_planes(planes, tile_src, n_comp)  # [T, B_pad, S_MAX*C]
@@ -488,6 +494,12 @@ def _tiled_render_raw(planes, tile_src, px, py, n_comp, s_max, b_tile, interpret
     b = planes[0].shape[0]
     t = tile_src.shape[0]
     pix = px.shape[1]
+    # adapt the block to the actual batch: samplers vmap a per-chain (b=1)
+    # logdensity, and padding b=1 to a 128-row block BEFORE vmap batching
+    # multiplies both compute and the gathered planes by 128x per chain
+    # (measured: 2.4 GB of gathered planes -> device fault at 1024 chains);
+    # 8 is the f32 sublane minimum
+    b_tile = min(b_tile, ((b + 7) // 8) * 8)
     b_pad = ((b + b_tile - 1) // b_tile) * b_tile
     planes = [_pad_axis(p, b_pad, 0) for p in planes]
     gathered = _gather_tile_planes(planes, tile_src, n_comp)

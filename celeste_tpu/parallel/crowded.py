@@ -160,7 +160,7 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
                                   positions_px, radii_px=12.0,
                                   priors: SourcePriors | None = None,
                                   s_max: int | None = None,
-                                  n_buckets: int = 2):
+                                  n_buckets: int = 2, impl: str = "pallas"):
     """Joint log density over the flat [D_total] vector using the
     block-sparse tiled kernel (SURVEY.md §5.7) — the production path for
     large fields where dense S x P evaluation is quadratic waste.
@@ -223,11 +223,16 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
 
     planes_fn = scene_planes_blocked if mixed else scene_planes_padded
 
+    # impl note: per-chain logdensities get vmapped by the samplers; the
+    # jnp path (scan-VJP) batches cleanly under vmap, while the pallas path
+    # pays an 8-row sublane pad per chain — prefer impl="jnp" when the
+    # consumer is a vmapped sampler, impl="pallas" for batched evaluation
     def logdensity(vec):
         ll = 0.0
         for st, b, data in zip(stamps, bands, datas):
             planes = planes_fn(scene, vec[None, :], st, b)
-            ll = ll + tiled_field_loglik(planes, data, n_comp=n_comp)[0]
+            ll = ll + tiled_field_loglik(planes, data, n_comp=n_comp,
+                                         impl=impl)[0]
         blocks, _ = scene.block_slices()
         for (off, d, kind), params in zip(blocks, scene.unpack(vec)):
             v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
