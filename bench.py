@@ -151,60 +151,28 @@ def _bench_tiled_field():
     return rate
 
 
-def _bench_config5_tiled(n_chains=1024, n_steps=128, n_warmup=150):
+def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
+                         warmup_window=50, run_segment=8):
     """BASELINE config 5 AS WRITTEN (VERDICT r1 #3): 12 overlapping sources
     (10 stars + 2 galaxies — production fields are mixed-kind), 1024
     chains, NUTS, block-sparse TILED likelihood, single chip.  Returns
-    (min ESS/sec, divergence fraction, max |tiled - dense| parity gap)."""
-    from celeste_tpu.data.synthetic import (
-        galaxy_source, make_synthetic_stamp, star_source,
+    (min ESS/sec, divergence fraction, max |tiled - dense| parity gap).
+
+    Execution is SEGMENTED: the axon tunnel kills device calls somewhere in
+    the 60-120 s band (measured, scripts/tpu_session4/5), so warmup runs as
+    ``hmc_warmup_window`` slices and NUTS as ``run_segment``-step
+    ``run_chains_ensemble`` calls — numerically identical to the monolithic
+    program (tests/test_vg.py pins warmup; the runner carries full state).
+    Gradients route through the batch-aware vg (7x; inference/vg.py)."""
+    from celeste_tpu.bench.config5 import build_config5
+    from celeste_tpu.inference import (
+        hmc_warmup_finish, hmc_warmup_init, hmc_warmup_window,
+        nuts_kernel, run_chains_ensemble,
     )
-    from celeste_tpu.inference import hmc_warmup, nuts_kernel, run_chains_ensemble
     from celeste_tpu.inference.diagnostics import ess
-    from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
-    from celeste_tpu.parallel.crowded import make_tiled_crowded_logdensity
 
-    rng = np.random.default_rng(11)
-    cosd = np.cos(np.deg2rad(10.0))
-    h, w = 48, 128
-    n_src = 12
-    kinds = tuple("galaxy" if i in (3, 8) else "star" for i in range(n_src))
-    srcs = []
-    # overlapping: 12 sources in a 30x15-arcsec core, mean sep ~3 px
-    for i in range(n_src):
-        px_, py_ = rng.uniform(34, 94), rng.uniform(12, 36)
-        de, dn = (px_ - (w - 1) / 2) * 0.396, (py_ - (h - 1) / 2) * 0.396
-        u = (30 + de / 3600 / cosd, 10 + dn / 3600)
-        if kinds[i] == "star":
-            srcs.append(star_source(u=u, flux_r=20 + 10 * rng.random()))
-        else:
-            srcs.append(galaxy_source(u=u, flux_r=60.0, sigma=0.8, ab=0.6))
-    sd = make_synthetic_stamp(srcs, shape=(h, w), bands=(2,), seed=55)
-    cs = CrowdedScene(kinds=kinds, n_bands=1)
-    stamp = sd.stamps[0]
-    pos_px = np.stack([np.asarray(stamp.duas2pixel(jnp.asarray(
-        sd.wcs.equa2duas(s["u"]), jnp.float32))) for s in srcs])
-    # impl="jnp": the sampler vmaps this per-chain logdensity; the tiled
-    # jnp path (scan-VJP) batches cleanly under vmap while the pallas path
-    # pays a sublane pad per chain (see make_tiled_crowded_logdensity)
-    logd, _ = make_tiled_crowded_logdensity(cs, stamp, band=0,
-                                            positions_px=pos_px,
-                                            radii_px=14.0, n_buckets=2,
-                                            impl="jnp")
-    logd_dense = make_crowded_logdensity(cs, [stamp], bands=[0])
-
-    parts = []
-    for s, kind in zip(srcs, kinds):
-        du = sd.wcs.equa2duas(s["u"])
-        if kind == "star":
-            parts.append(np.concatenate([du, [np.log(s["flux"][2])]]))
-        else:
-            th, ab = s["theta_dev"], s["ab"]
-            parts.append(np.concatenate(
-                [du, [np.log(s["flux"][2]), np.log(th / (1 - th)),
-                      np.log(s["sigma"]), np.log(ab / (1 - ab)), s["phi"]]]))
-    vec = jnp.asarray(np.concatenate(parts), jnp.float32)
-    d = cs.dim
+    logd, logd_dense, vec, _info = build_config5()
+    d = int(vec.shape[0])
 
     # parity gate: tiled vs dense on perturbed states
     probe = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(9), (8, d))
@@ -213,26 +181,44 @@ def _bench_config5_tiled(n_chains=1024, n_steps=128, n_warmup=150):
     parity = float(np.max(np.abs(lt - ld)))
 
     x0 = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(1), (n_chains, d))
-    states, ss, im = jax.jit(jax.vmap(
-        lambda k, x: hmc_warmup(k, logd, x, n_warmup=n_warmup, n_leapfrog=8)
-    ))(jax.random.split(jax.random.key(3), n_chains), x0)
-    jax.block_until_ready(states)
+    chain_keys = jax.random.split(jax.random.key(3), n_chains)
+    # per-chain warmup keys [n_chains, n_warmup] sliced into windows
+    wkeys = jax.vmap(lambda k: jax.random.split(k, n_warmup))(chain_keys)
+    carry = jax.jit(jax.vmap(lambda x: hmc_warmup_init(x, logd)))(x0)
+    window = jax.jit(lambda ks, c: jax.vmap(
+        lambda k, ci: hmc_warmup_window(k, logd, ci, n_warmup=n_warmup,
+                                        n_leapfrog=8))(ks, c))
+    t = time.time()
+    for off in range(0, n_warmup, warmup_window):
+        carry = window(wkeys[:, off:off + warmup_window], carry)
+        jax.block_until_ready(carry)
+    states, ss, im = jax.jit(jax.vmap(hmc_warmup_finish))(carry)
     step_size = float(jnp.median(ss))
     inv_mass = jnp.mean(im, axis=0)
-    print(f"# config5 tiled warmup: step_size={step_size:.4f}", file=sys.stderr)
+    print(f"# config5 tiled warmup: step_size={step_size:.4f} "
+          f"({time.time() - t:.0f}s segmented)", file=sys.stderr)
     kern = nuts_kernel(logd, step_size=step_size, inv_mass=inv_mass, max_depth=6)
-    run = jax.jit(lambda k, s: run_chains_ensemble(k, kern, s, n_steps=n_steps))
-    samples, _, _ = run(jax.random.key(0), states)
-    samples.block_until_ready()
+    run = jax.jit(lambda k, s: run_chains_ensemble(k, kern, s,
+                                                   n_steps=run_segment))
+    # compile + throwaway segment (untimed), then the real segmented run
+    out = run(jax.random.key(0), states)
+    jax.block_until_ready(out)
     t = time.time()
-    samples, _, info = run(jax.random.key(2), states)
-    samples.block_until_ready()
+    seg_samples, infos = [], []
+    cur = states
+    for i in range(n_steps // run_segment):
+        samples, cur, info = run(jax.random.fold_in(jax.random.key(2), i), cur)
+        seg_samples.append(samples)
+        infos.append(info)
+    jax.block_until_ready(cur)
     dt = time.time() - t
+    samples = jnp.concatenate(seg_samples, axis=1)       # [chains, steps, D]
     kept = samples[:, n_steps // 4:]
     e = np.asarray(ess(kept))
     rate_min = float(e.min() / dt)
-    div = float(jnp.mean(info.diverged.astype(jnp.float32)))
-    print(f"# config5 tiled NUTS (12 src mixed, 1024 chains): {dt:.2f}s, "
+    div = float(np.mean([float(jnp.mean(i.diverged.astype(jnp.float32)))
+                         for i in infos]))
+    print(f"# config5 tiled NUTS (12 src mixed, {n_chains} chains): {dt:.2f}s, "
           f"min ESS/sec {rate_min:.1f}, median {float(np.median(e) / dt):.1f}, "
           f"divergence {div:.4f}, tiled-dense parity {parity:.3f}",
           file=sys.stderr)
@@ -268,13 +254,27 @@ def _bench_pipeline_walltime():
     return dt
 
 
+def _stage(name, fn, default):
+    """One benchmark stage; a device fault in one stage must not cost the
+    round its whole JSON record (a wedged axon device can take later stages
+    with it, but whatever already ran is preserved)."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001
+        print(f"# STAGE FAILED {name}: {str(e)[:300]}", file=sys.stderr)
+        return default
+
+
 def main():
-    rates = _bench_evals_per_sec()
+    rates = _stage("evals", _bench_evals_per_sec, {"pallas": 0.0, "jnp": 0.0})
     evals_rate = max(rates.values())
-    ess_rate = _bench_ess_per_sec()
-    tiled_rate = _bench_tiled_field()
-    ess_tiled, div_tiled, parity_tiled = _bench_config5_tiled()
-    pipeline_s = _bench_pipeline_walltime()
+    ess_rate = _stage("crowded_ess", _bench_ess_per_sec, None)
+    tiled_rate = _stage("tiled_field", _bench_tiled_field, None)
+    pipeline_s = _stage("pipeline", _bench_pipeline_walltime, None)
+    # config5 runs LAST: the biggest single device program; if it wedges the
+    # chip (DESIGN.md §3) everything above is already recorded
+    ess_tiled, div_tiled, parity_tiled = _stage(
+        "config5_tiled", _bench_config5_tiled, (None, None, None))
     oracle_crowded = 6.0  # min ESS/sec, oracle slice, 6-star field (BASELINE.md)
     print(json.dumps({
         "metric": "single-stamp likelihood evals/sec/chip",
@@ -284,7 +284,7 @@ def main():
         "evals_per_sec_pallas": rates["pallas"],
         "evals_per_sec_jnp": rates["jnp"],
         "ess_per_sec_crowded": ess_rate,
-        "ess_vs_oracle": ess_rate / oracle_crowded,
+        "ess_vs_oracle": None if ess_rate is None else ess_rate / oracle_crowded,
         "tiled_field_evals_per_sec": tiled_rate,
         "ess_per_sec_tiled": ess_tiled,
         "tiled_divergence_frac": div_tiled,

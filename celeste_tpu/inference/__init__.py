@@ -13,7 +13,15 @@ mandates.
 
 from celeste_tpu.inference.mh import mh_init, mh_kernel  # noqa: F401
 from celeste_tpu.inference.slice_ import slice_init, slice_kernel  # noqa: F401
-from celeste_tpu.inference.hmc import hmc_init, hmc_kernel, hmc_warmup  # noqa: F401
+from celeste_tpu.inference.hmc import (  # noqa: F401
+    hmc_init,
+    hmc_kernel,
+    hmc_warmup,
+    hmc_warmup_finish,
+    hmc_warmup_init,
+    hmc_warmup_window,
+)
+from celeste_tpu.inference.vg import batch_aware_value_and_grad, value_and_grad_of  # noqa: F401
 from celeste_tpu.inference.nuts import nuts_kernel  # noqa: F401
 from celeste_tpu.inference.runner import run_chains, run_chains_ensemble  # noqa: F401
 from celeste_tpu.inference.diagnostics import ess, split_rhat, summarize  # noqa: F401

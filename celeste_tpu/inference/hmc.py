@@ -17,6 +17,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from celeste_tpu.inference.vg import value_and_grad_of
+
 
 class HMCState(NamedTuple):
     x: jax.Array          # [D]
@@ -33,7 +35,7 @@ class HMCInfo(NamedTuple):
 
 def hmc_init(x0, logdensity_fn) -> HMCState:
     x0 = jnp.asarray(x0)
-    logp, grad = jax.value_and_grad(logdensity_fn)(x0)
+    logp, grad = value_and_grad_of(logdensity_fn)(x0)
     return HMCState(x=x0, logp=logp, grad=grad)
 
 
@@ -55,7 +57,7 @@ def _leapfrog(value_and_grad_fn, x, p, grad, step_size, inv_mass, n_steps):
 def hmc_kernel(logdensity_fn, step_size, inv_mass, n_leapfrog: int = 16):
     """Build an HMC step.  ``inv_mass`` is the [D] diagonal inverse mass
     (posterior variance estimate); ``step_size`` scalar."""
-    vg = jax.value_and_grad(logdensity_fn)
+    vg = value_and_grad_of(logdensity_fn)
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
     sqrt_mass = 1.0 / jnp.sqrt(inv_mass)
 
@@ -137,19 +139,28 @@ def welford_variance(w: WelfordState, reg: float = 1e-3):
     return shrink * var + reg * (1.0 - shrink) + 1e-7
 
 
-def hmc_warmup(key, logdensity_fn, x0, n_warmup: int = 500, n_leapfrog: int = 16,
-               init_step_size: float = 0.1, target_accept: float = 0.8):
-    """Adaptive warmup: runs HMC while adapting step size (dual averaging,
-    every step) and diagonal mass (Welford over the second half of warmup).
-
-    Returns (final HMCState, step_size, inv_mass).  Designed to be vmapped
-    over chains (each chain adapts independently; ensemble-pooled adaptation
-    lives in ``celeste_tpu.parallel``).
-    """
-    vg = jax.value_and_grad(logdensity_fn)
+def hmc_warmup_init(x0, logdensity_fn, init_step_size: float = 0.1):
+    """Warmup carry for ``hmc_warmup_window`` — (HMCState, dual-averaging
+    state, Welford state, inv_mass, step counter)."""
     x0 = jnp.asarray(x0)
     d = x0.shape[0]
-    state0 = hmc_init(x0, logdensity_fn)
+    return (hmc_init(x0, logdensity_fn), da_init(init_step_size),
+            welford_init(d), jnp.ones(d, jnp.float32), jnp.int32(0))
+
+
+def hmc_warmup_window(keys, logdensity_fn, carry, n_warmup: int,
+                      n_leapfrog: int = 16, target_accept: float = 0.8):
+    """Advance the adaptive warmup by ``len(keys)`` steps and return the
+    updated carry.  Segmenting is exact: running ``hmc_warmup`` monolithically
+    equals chaining windows over the same split keys (the carry is the whole
+    adaptation state).  Built for environments that bound single device-call
+    durations (DESIGN.md §3: the axon tunnel kills executions somewhere in
+    the 60-120 s range) and for checkpointable warmup.
+
+    ``n_warmup`` is the TOTAL planned warmup length (the mass-adaptation
+    window is phased on it), not the window length.
+    """
+    vg = value_and_grad_of(logdensity_fn)
 
     def step(carry, key_t):
         state, da, wf, inv_mass, t = carry
@@ -181,8 +192,27 @@ def hmc_warmup(key, logdensity_fn, x0, n_warmup: int = 500, n_leapfrog: int = 16
         inv_mass = jnp.where(wf.count > 10.0, est, inv_mass)
         return (state, da, wf, inv_mass, t + 1), None
 
-    keys = jax.random.split(key, n_warmup)
-    init = (state0, da_init(init_step_size), welford_init(d), jnp.ones(d, jnp.float32),
-            jnp.int32(0))
-    (state, da, wf, inv_mass, _), _ = jax.lax.scan(step, init, keys)
+    return jax.lax.scan(step, carry, keys)[0]
+
+
+def hmc_warmup_finish(carry):
+    """(final HMCState, adapted step_size, inv_mass) from a warmup carry."""
+    state, da, _, inv_mass, _ = carry
     return state, jnp.exp(da.log_step_avg), inv_mass
+
+
+def hmc_warmup(key, logdensity_fn, x0, n_warmup: int = 500, n_leapfrog: int = 16,
+               init_step_size: float = 0.1, target_accept: float = 0.8):
+    """Adaptive warmup: runs HMC while adapting step size (dual averaging,
+    every step) and diagonal mass (Welford over the second half of warmup).
+
+    Returns (final HMCState, step_size, inv_mass).  Designed to be vmapped
+    over chains (each chain adapts independently; ensemble-pooled adaptation
+    lives in ``celeste_tpu.parallel``).  For bounded device-call durations
+    or warmup checkpointing, drive ``hmc_warmup_window`` directly with
+    slices of ``jax.random.split(key, n_warmup)`` — the result is identical.
+    """
+    carry = hmc_warmup_init(x0, logdensity_fn, init_step_size)
+    carry = hmc_warmup_window(jax.random.split(key, n_warmup), logdensity_fn,
+                              carry, n_warmup, n_leapfrog, target_accept)
+    return hmc_warmup_finish(carry)

@@ -19,16 +19,19 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from celeste_tpu.inference.vg import value_and_grad_of
+
 
 def map_fit(logdensity_fn, x0, n_steps: int = 300, learning_rate: float = 0.05):
     """Adam ascent on ``logdensity_fn`` from ``x0`` [D].  Returns (x_map,
     logp_trace).  vmap over a [N, D] batch for multi-restart."""
 
     opt = optax.adam(learning_rate)
+    vg = value_and_grad_of(logdensity_fn)
 
     def step(carry, _):
         x, opt_state = carry
-        logp, grad = jax.value_and_grad(logdensity_fn)(x)
+        logp, grad = vg(x)
         updates, opt_state = opt.update(jax.tree_util.tree_map(jnp.negative, grad), opt_state)
         x = optax.apply_updates(x, updates)
         return (x, opt_state), logp

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from celeste_tpu.inference.hmc import HMCState
+from celeste_tpu.inference.vg import value_and_grad_of
 
 _DIVERGENCE_THRESHOLD = 1000.0
 
@@ -50,7 +51,7 @@ def nuts_kernel(logdensity_fn, step_size, inv_mass, max_depth: int = 8):
     """Build a NUTS step over HMCState (x, logp, grad).  ``inv_mass`` is the
     [D] diagonal inverse mass; ``step_size`` scalar (may be a traced value,
     e.g. during dual-averaging warmup)."""
-    vg = jax.value_and_grad(logdensity_fn)
+    vg = value_and_grad_of(logdensity_fn)
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
     sqrt_mass = 1.0 / jnp.sqrt(inv_mass)
     size = 2 ** max_depth

@@ -227,22 +227,44 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
     # jnp path (scan-VJP) batches cleanly under vmap, while the pallas path
     # pays an 8-row sublane pad per chain — prefer impl="jnp" when the
     # consumer is a vmapped sampler, impl="pallas" for batched evaluation
-    def logdensity(vec):
-        ll = 0.0
-        for st, b, data in zip(stamps, bands, datas):
-            planes = planes_fn(scene, vec[None, :], st, b)
-            ll = ll + tiled_field_loglik(planes, data, n_comp=n_comp,
-                                         impl=impl)[0]
+    def _prior_part(vec):
+        lp = 0.0
         blocks, _ = scene.block_slices()
         for (off, d, kind), params in zip(blocks, scene.unpack(vec)):
             v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
             if kind == "star":
-                ll = ll + priors.star_logpdf(params)
-                ll = ll + StarParams.log_det_jacobian(v, scene.n_bands)
+                lp = lp + priors.star_logpdf(params)
+                lp = lp + StarParams.log_det_jacobian(v, scene.n_bands)
             else:
-                ll = ll + priors.galaxy_logpdf(params)
-                ll = ll + GalaxyParams.log_det_jacobian(v, scene.n_bands)
-        return ll
+                lp = lp + priors.galaxy_logpdf(params)
+                lp = lp + GalaxyParams.log_det_jacobian(v, scene.n_bands)
+        return lp
+
+    def _ll_batch(vecs, ll_impl):
+        ll = 0.0
+        for st, b, data in zip(stamps, bands, datas):
+            planes = planes_fn(scene, vecs, st, b)
+            ll = ll + tiled_field_loglik(planes, data, n_comp=n_comp,
+                                         impl=ll_impl)
+        return ll + jax.vmap(_prior_part)(vecs)
+
+    def logdensity(vec):
+        return _ll_batch(vec[None, :], impl)[0]
+
+    def logdensity_batch(vecs):
+        """[B, D] -> [B], batch-major through the tiled kernels (the fast
+        layout for ensemble work; the scan-VJP backward stays slice/DUS-
+        shaped instead of being batched into scatters)."""
+        return _ll_batch(vecs, impl)
+
+    # samplers pick this up via value_and_grad_of: vmapped gradients route
+    # through ONE vjp of the batch-major jnp program (measured 7x faster
+    # than vmap(grad(.)) at B=1024 on v5e; see inference/vg.py)
+    from celeste_tpu.inference.vg import batch_aware_value_and_grad
+
+    logdensity.batched = logdensity_batch
+    logdensity.value_and_grad = batch_aware_value_and_grad(
+        logdensity, lambda vecs: _ll_batch(vecs, "jnp"))
 
     # return shape mirrors the input shape (a list in -> a list out)
     return logdensity, (datas if is_multi else datas[0])
