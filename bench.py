@@ -151,8 +151,8 @@ def _bench_tiled_field():
     return rate
 
 
-def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
-                         warmup_window=50, run_segment=8):
+def _bench_config5_tiled(n_chains=1024, n_steps=96, n_warmup=150,
+                         warmup_window=50, run_segment=16):
     """BASELINE config 5 AS WRITTEN (VERDICT r1 #3): 12 overlapping sources
     (10 stars + 2 galaxies — production fields are mixed-kind), 1024
     chains, NUTS, block-sparse TILED likelihood, single chip.  Returns
@@ -197,30 +197,66 @@ def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
     inv_mass = jnp.mean(im, axis=0)
     print(f"# config5 tiled warmup: step_size={step_size:.4f} "
           f"({time.time() - t:.0f}s segmented)", file=sys.stderr)
+    # probe run with the diagonal metric: compiles the NUTS segment shape
+    # AND pools an ensemble covariance for the DENSE metric (the overlapping
+    # sources couple parameters across sources; whitening is what lets NUTS
+    # take shallow trees here — see inference/whiten.py + test_whiten.py)
     kern = nuts_kernel(logd, step_size=step_size, inv_mass=inv_mass, max_depth=6)
     run = jax.jit(lambda k, s: run_chains_ensemble(k, kern, s,
                                                    n_steps=run_segment))
-    # compile + throwaway segment (untimed), then the real segmented run
-    out = run(jax.random.key(0), states)
+    s_probe, _, _ = run(jax.random.key(0), states)
+    jax.block_until_ready(s_probe)
+
+    from celeste_tpu.inference import (
+        ensemble_covariance, hmc_init, whiten_logdensity,
+    )
+
+    m_hat, cov_hat = ensemble_covariance(s_probe, ridge=1e-4)
+    logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
+    z0 = to_z(states.x)
+    states_z = jax.jit(jax.vmap(lambda z: hmc_init(z, logd_z)))(z0)
+    # short z-space dual-averaging window for the whitened step size
+    zcarry = jax.jit(jax.vmap(
+        lambda z: hmc_warmup_init(z, logd_z, init_step_size=0.3)))(z0)
+    n_zwarm = 30
+    zkeys = jax.vmap(lambda k: jax.random.split(k, n_zwarm))(
+        jax.random.split(jax.random.key(5), n_chains))
+    zcarry = jax.jit(lambda ks, c: jax.vmap(
+        lambda k, ci: hmc_warmup_window(k, logd_z, ci, n_warmup=n_zwarm,
+                                        n_leapfrog=8))(ks, c))(zkeys, zcarry)
+    states_z, ss_z, _ = jax.jit(jax.vmap(hmc_warmup_finish))(zcarry)
+    step_z = float(jnp.median(ss_z))
+    print(f"# config5 dense-metric step_size={step_z:.3f}", file=sys.stderr)
+    # max_depth 5: vmapped NUTS pays every round regardless of per-chain
+    # early exit (batched cond runs both branches), so wall time is
+    # constant in realized depth — and the whitened trees average ~4.5
+    kern_z = nuts_kernel(logd_z, step_size=step_z,
+                         inv_mass=jnp.ones_like(inv_mass), max_depth=5)
+    run_z = jax.jit(lambda k, s: run_chains_ensemble(k, kern_z, s,
+                                                     n_steps=run_segment))
+    out = run_z(jax.random.key(0), states_z)   # compile (untimed)
     jax.block_until_ready(out)
     t = time.time()
     seg_samples, infos = [], []
-    cur = states
+    cur = states_z
     for i in range(n_steps // run_segment):
-        samples, cur, info = run(jax.random.fold_in(jax.random.key(2), i), cur)
+        samples, cur, info = run_z(jax.random.fold_in(jax.random.key(2), i), cur)
         seg_samples.append(samples)
         infos.append(info)
     jax.block_until_ready(cur)
     dt = time.time() - t
-    samples = jnp.concatenate(seg_samples, axis=1)       # [chains, steps, D]
+    samples = to_x(jnp.concatenate(seg_samples, axis=1))  # [chains, steps, D]
     kept = samples[:, n_steps // 4:]
     e = np.asarray(ess(kept))
     rate_min = float(e.min() / dt)
     div = float(np.mean([float(jnp.mean(i.diverged.astype(jnp.float32)))
                          for i in infos]))
-    print(f"# config5 tiled NUTS (12 src mixed, {n_chains} chains): {dt:.2f}s, "
-          f"min ESS/sec {rate_min:.1f}, median {float(np.median(e) / dt):.1f}, "
-          f"divergence {div:.4f}, tiled-dense parity {parity:.3f}",
+    depth = float(np.mean([float(jnp.mean(i.tree_depth.astype(jnp.float32)))
+                           for i in infos]))
+    print(f"# config5 tiled NUTS (12 src mixed, {n_chains} chains, dense "
+          f"metric): {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
+          f"median {float(np.median(e) / dt):.1f}, divergence {div:.4f}, "
+          f"mean depth {depth:.2f}, tiled-dense parity {parity:.3f}",
           file=sys.stderr)
     return rate_min, div, parity
 
