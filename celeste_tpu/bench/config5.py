@@ -43,12 +43,21 @@ def build_config5(n_buckets: int = 2, impl: str = "jnp"):
     stamp = sd.stamps[0]
     pos_px = np.stack([np.asarray(stamp.duas2pixel(jnp.asarray(
         sd.wcs.equa2duas(s["u"]), jnp.float32))) for s in srcs])
+    # per-BLOCK support radii: each galaxy component block truncated at its
+    # own scale+amplitude instead of one 14 px halo for all 16 blocks
+    # (model.galaxy.block_support_radii; sigma upper bound = 1.5x truth)
+    from celeste_tpu.model.galaxy import block_support_radii
+
+    psf_sig = float(np.sqrt(np.max(np.linalg.eigvalsh(
+        np.asarray(stamp.psf.cov)))))
+    radii = block_support_radii(kinds, psf_sigma_px=psf_sig,
+                                gal_sigma_px=1.5 * 0.8 / 0.396)
     # impl="jnp": the sampler vmaps this per-chain logdensity; the tiled
     # jnp path (scan-VJP) batches cleanly under vmap while the pallas path
     # pays a sublane pad per chain (see make_tiled_crowded_logdensity)
     logd, data = make_tiled_crowded_logdensity(cs, stamp, band=0,
                                                positions_px=pos_px,
-                                               radii_px=14.0,
+                                               radii_px=radii,
                                                n_buckets=n_buckets,
                                                impl=impl)
     logd_dense = make_crowded_logdensity(cs, [stamp], bands=[0])

@@ -48,3 +48,48 @@ def galaxy_profile_mog(theta_dev, shape_cov_px) -> MoG2D:
     cov = vars_[:, None, None] * shape_cov_px[None, :, :]
     mu = jnp.zeros((N_GAL, 2), jnp.float32)
     return MoG2D(w, mu, cov)
+
+
+def block_support_radii(kinds, psf_sigma_px, gal_sigma_px, rel_eps: float = 1e-4,
+                        slack_px: float = 2.0):
+    """Per-BLOCK support radii [S, N_GAL] for the block tile maps
+    (parallel.tiles.build_block_tile_map).
+
+    The reference bounds every source by one box; here each component
+    block gets its own truncation radius from its own scale AND amplitude:
+    a block of table weight a_j and total std sigma_j contributes less than
+    ``rel_eps`` of a unit-flux source outside
+
+        r_j = sigma_j * sqrt(2 ln(a_j / rel_eps)) + slack_px,
+
+    so the wide deV wing keeps its big halo while the core blocks (and the
+    PSF-dominated exp cores) stop inflating every neighboring tile's
+    S_MAX.  Blocks with a_j <= rel_eps get radius -1: they are dropped from
+    the tile lists entirely (the zero/epsilon-amplitude deV core rows).
+
+    ``psf_sigma_px``: max PSF component std (pixels); ``gal_sigma_px``: an
+    UPPER estimate of the galaxy half-light radius over the run (the tile
+    map is static while positions/shapes are sampled — pass catalog sigma
+    x a safety factor, and ``slack_px`` covers position movement).  Star
+    rows put the PSF-only radius in column 0 (a star owns one block).
+    theta-mixing is bounded by 1, so raw table amplitudes are the bound.
+    """
+    import numpy as np
+
+    kinds = list(kinds)
+    amps = np.concatenate([np.asarray(EXP_AMPS), np.asarray(DEV_AMPS)])
+    varz = np.concatenate([np.asarray(EXP_VARS), np.asarray(DEV_VARS)])
+    sig_g = np.sqrt(varz * float(gal_sigma_px) ** 2 + float(psf_sigma_px) ** 2)
+    with np.errstate(divide="ignore"):
+        arg = 2.0 * np.log(amps / rel_eps)
+    r_gal = np.where(amps > rel_eps,
+                     sig_g * np.sqrt(np.maximum(arg, 0.0)) + slack_px, -1.0)
+    r_star = (float(psf_sigma_px) * np.sqrt(2.0 * np.log(1.0 / rel_eps))
+              + slack_px)
+    out = np.full((len(kinds), N_GAL), -1.0)
+    for i, kind in enumerate(kinds):
+        if kind == "star":
+            out[i, 0] = r_star
+        else:
+            out[i] = r_gal
+    return out

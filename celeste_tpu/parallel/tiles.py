@@ -60,6 +60,8 @@ def build_tile_map(positions_px, radii_px, shape, s_max: int | None = None) -> T
 
     per_tile: list[list[int]] = [[] for _ in range(n_ty * n_tx)]
     for i in range(s):
+        if rad[i] < 0:
+            continue  # dropped entry (zero-amplitude block): touches nothing
         x0 = max(0, int((pos[i, 0] - rad[i]) // TILE_W))
         x1 = min(n_tx - 1, int((pos[i, 0] + rad[i]) // TILE_W))
         y0 = max(0, int((pos[i, 1] - rad[i]) // TILE_H))
@@ -112,14 +114,23 @@ def build_block_tile_map(positions_px, radii_px, kinds, shape,
     pos = np.asarray(positions_px, np.float64).reshape(-1, 2)
     s = pos.shape[0]
     assert len(kinds) == s, (len(kinds), s)
-    rad = np.broadcast_to(np.asarray(radii_px, np.float64), (s,))
+    # radii: scalar / [S] (uniform over a source's blocks) or
+    # [S, n_blocks_gal] per-block (model.galaxy.block_support_radii — each
+    # component block truncated at its own scale+amplitude; entries < 0
+    # drop the block from every tile)
+    rad_arr = np.asarray(radii_px, np.float64)
+    per_block = rad_arr.ndim == 2
+    if per_block:
+        assert rad_arr.shape == (s, n_blocks_gal), (rad_arr.shape, s, n_blocks_gal)
+    else:
+        rad_arr = np.broadcast_to(rad_arr, (s,))
     slot_ids, block_pos, block_rad = [], [], []
     for i, kind in enumerate(kinds):
         nb = 1 if kind == "star" else n_blocks_gal
         for j in range(nb):
             slot_ids.append(i * n_blocks_gal + j)
             block_pos.append(pos[i])
-            block_rad.append(rad[i])
+            block_rad.append(rad_arr[i, j] if per_block else rad_arr[i])
     tm = build_tile_map(np.asarray(block_pos), np.asarray(block_rad), shape,
                         s_max=s_max)
     # remap local real-block indices -> global slot ids (sentinel last)

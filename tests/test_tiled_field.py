@@ -209,3 +209,54 @@ def test_tiled_grad_chunked_backward(field_scene, monkeypatch):
     # measured 0.2% max relative reassociation noise on 1e7-scale grads
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
                                rtol=5e-3, atol=10.0)
+
+
+def test_per_block_support_radii():
+    """Per-BLOCK amplitude-aware truncation (model.galaxy.block_support_radii
+    + [S, N_GAL] radii in build_block_tile_map): zero-amplitude blocks are
+    dropped from every tile, core blocks stop inflating neighbors' S_MAX,
+    and the wide deV wing gets a LARGER halo than the old uniform radius
+    (which cut it at ~1.2 sigma)."""
+    import numpy as np
+
+    from celeste_tpu.model.galaxy import DEV_AMPS, N_GAL, block_support_radii
+    from celeste_tpu.parallel.tiles import build_block_tile_map
+
+    kinds = ("star", "galaxy")
+    radii = block_support_radii(kinds, psf_sigma_px=1.4, gal_sigma_px=3.0)
+    assert radii.shape == (2, N_GAL)
+    # star: one positive block, rest dropped
+    assert radii[0, 0] > 0 and np.all(radii[0, 1:] < 0)
+    # zero/epsilon-amplitude deV rows are dropped outright
+    n_amp_dead = int(np.sum(np.asarray(DEV_AMPS) <= 1e-4))
+    assert int(np.sum(radii[1] < 0)) == n_amp_dead
+    # the widest block's halo exceeds the old one-size radius
+    assert radii[1].max() > 12.0
+    # narrow blocks are tighter than it
+    assert np.sort(radii[1][radii[1] > 0])[0] < 8.0
+
+    pos = np.asarray([[40.0, 40.0], [200.0, 40.0]])
+    tm = build_block_tile_map(pos, radii, kinds, (128, 384),
+                              n_blocks_gal=N_GAL)
+    # dropped blocks appear in NO tile
+    listed = set(np.unique(tm.tile_src))
+    dead_slots = {N_GAL + j for j in range(N_GAL) if radii[1, j] < 0}
+    assert listed.isdisjoint(dead_slots)
+
+
+def test_per_block_radii_tiled_parity():
+    """Mixed-scene tiled loglik with per-block radii still matches the
+    dense path at fp32 tolerance (truncation error is below the fp32
+    noise of the ~1e6-scale loglik)."""
+    import numpy as np
+
+    import jax
+
+    from celeste_tpu.bench.config5 import build_config5
+
+    logd, logd_dense, vec, _ = build_config5(impl="jnp")
+    probe = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(9),
+                                                    (4, vec.shape[0]))
+    lt = np.asarray(jax.vmap(logd)(probe))
+    ld = np.asarray(jax.vmap(logd_dense)(probe))
+    assert np.max(np.abs(lt - ld) / np.abs(ld)) < 1e-6
