@@ -82,6 +82,73 @@ def _tiled_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,  # [1, B_t, S
     out_ref[0, 0, :] = jnp.sum(ll, axis=1)
 
 
+def _tiled_kernel_with_lam(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
+                           px_ref, py_ref, counts_ref, sky_ref, mask_ref,
+                           out_ref, lam_ref, *, n_comp: int, s_max: int):
+    """Forward used under autodiff: same as ``_tiled_kernel`` but ALSO emits
+    the pre-clamp lambda tile (incl. sky) [1, B_t, PIX] as the residual the
+    Pallas backward consumes (saves one full slot-loop recompute there)."""
+    px = px_ref[0]
+    py = py_ref[0]
+    b_t = amp_ref.shape[1]
+    lam = jnp.broadcast_to(sky_ref[0], (b_t, px.shape[1])).astype(jnp.float32)
+    for k in range(s_max * n_comp):
+        log_amp = jnp.log(amp_ref[0][:, k:k + 1])
+        dx = px - mx_ref[0][:, k:k + 1]
+        dy = py - my_ref[0][:, k:k + 1]
+        arg = (log_amp - 0.5 * pa_ref[0][:, k:k + 1] * dx * dx
+               - pb_ref[0][:, k:k + 1] * dx * dy
+               - 0.5 * pc_ref[0][:, k:k + 1] * dy * dy)
+        lam = lam + jnp.exp(arg)
+    lam_ref[0] = lam
+    lam = jnp.maximum(lam, LAMBDA_MIN)
+    ll = (counts_ref[0] * jnp.log(lam) - lam) * mask_ref[0]
+    out_ref[0, 0, :] = jnp.sum(ll, axis=1)
+
+
+def _tiled_bwd_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
+                      px_ref, py_ref, counts_ref, mask_ref,   # [1, 1, PIX]
+                      lam_ref,                                # [1, B_t, PIX]
+                      g_ref,                                  # [1, 1, B_t]
+                      damp_ref, dmx_ref, dmy_ref, dpa_ref, dpb_ref, dpc_ref,
+                      # outs: [1, W, B_t] — slot on SUBLANES so each slot's
+                      # [B_t] reduction is one cheap static-sublane store
+                      *, n_comp: int, s_max: int):
+    """Backward of the tiled Poisson loglik wrt the gathered planes.
+
+    For ll = sum_p mask (counts log(max(lam, eps)) - max(lam, eps)) with
+    lam = sky + sum_k a_k exp(-q_k/2), q = pa dx^2 + 2 pb dx dy + pc dy^2:
+      g_lam = g * mask * (counts/lam - 1) * [lam > eps]
+      d a   = sum_p g_lam e_k ;      dL/dq = -0.5 g_lam a e_k
+      d pa  = sum_p dq dx^2 ; d pb = sum_p 2 dq dx dy ; d pc = sum_p dq dy^2
+      d mx  = sum_p -2 dq (pa dx + pb dy) ; d my = sum_p -2 dq (pb dx + pc dy)
+    One exp per (slot, pixel) — the lambda residual spares the second loop.
+    """
+    px = px_ref[0]
+    py = py_ref[0]
+    lam = lam_ref[0]                                        # [B_t, PIX]
+    active = (lam > LAMBDA_MIN).astype(jnp.float32)
+    lam_c = jnp.maximum(lam, LAMBDA_MIN)
+    g = g_ref[0, 0, :][:, None]                             # [B_t, 1]
+    g_lam = (g * mask_ref[0]) * (counts_ref[0] / lam_c - 1.0) * active
+    for k in range(s_max * n_comp):
+        a = amp_ref[0][:, k:k + 1]
+        pa = pa_ref[0][:, k:k + 1]
+        pb = pb_ref[0][:, k:k + 1]
+        pc = pc_ref[0][:, k:k + 1]
+        dx = px - mx_ref[0][:, k:k + 1]
+        dy = py - my_ref[0][:, k:k + 1]
+        e = jnp.exp(-0.5 * pa * dx * dx - pb * dx * dy - 0.5 * pc * dy * dy)
+        ge = g_lam * e                                      # [B_t, PIX]
+        dq = (-0.5) * ge * a
+        damp_ref[0, k, :] = jnp.sum(ge, axis=1)
+        dpa_ref[0, k, :] = jnp.sum(dq * dx * dx, axis=1)
+        dpb_ref[0, k, :] = jnp.sum(2.0 * dq * dx * dy, axis=1)
+        dpc_ref[0, k, :] = jnp.sum(dq * dy * dy, axis=1)
+        dmx_ref[0, k, :] = jnp.sum(dq * (-2.0) * (pa * dx + pb * dy), axis=1)
+        dmy_ref[0, k, :] = jnp.sum(dq * (-2.0) * (pb * dx + pc * dy), axis=1)
+
+
 def _slot_quad(planes, col0, n_comp, t_px, t_py):
     """One SOURCE slot's component block: (a [B,C], dx/dy/quad [B,C,PIX])
     on the tile's pixels.  ``col0`` is the slot's first plane column
@@ -318,6 +385,89 @@ def _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, inte
     return jnp.sum(out[:, 0, :], axis=0)[:b]
 
 
+def _tiled_pallas_fwd_lam(planes, tile_src, pixel_tiles, n_comp, s_max,
+                          b_tile, interpret):
+    """Forward emitting (loglik [B], lam tiles [T, B_pad, PIX]) — the
+    autodiff path; mirrors ``_tiled_pallas_raw``'s layout."""
+    amp = planes[0]
+    b = amp.shape[0]
+    t = tile_src.shape[0]
+    pix = pixel_tiles[0].shape[1]
+    b_tile = min(b_tile, ((b + 7) // 8) * 8)
+    b_pad = ((b + b_tile - 1) // b_tile) * b_tile
+    planes = [_pad_axis(p, b_pad, 0) for p in planes]
+    gathered = _gather_tile_planes(planes, tile_src, n_comp)
+    pixel_tiles3 = [p[:, None, :] for p in pixel_tiles]
+    grid = (t, b_pad // b_tile)
+    width = s_max * n_comp
+    param_spec = pl.BlockSpec((1, b_tile, width), lambda ti, bi: (ti, bi, 0),
+                              memory_space=pltpu.VMEM)
+    pixel_spec = pl.BlockSpec((1, 1, pix), lambda ti, bi: (ti, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out, lam = pl.pallas_call(
+        functools.partial(_tiled_kernel_with_lam, n_comp=n_comp, s_max=s_max),
+        out_shape=(jax.ShapeDtypeStruct((t, 1, b_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((t, b_pad, pix), jnp.float32)),
+        grid=grid,
+        in_specs=[param_spec] * 6 + [pixel_spec] * 5,
+        out_specs=(pl.BlockSpec((1, 1, b_tile), lambda ti, bi: (ti, 0, bi),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, b_tile, pix), lambda ti, bi: (ti, bi, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(*gathered, *pixel_tiles3)
+    return jnp.sum(out[:, 0, :], axis=0)[:b], lam
+
+
+def _tiled_bwd_pallas(planes, tile_src, pixel_tiles, lam, g, n_comp, s_max,
+                      b_tile, interpret):
+    """Pallas backward: gathered-cotangent kernel + one segment-sum scatter
+    back to the [B, (S+1)*C] plane layout (the transpose of the forward's
+    XLA gather)."""
+    amp = planes[0]
+    b, plane_w = amp.shape
+    t = tile_src.shape[0]
+    pix = pixel_tiles[0].shape[1]
+    b_tile = min(b_tile, ((b + 7) // 8) * 8)
+    b_pad = ((b + b_tile - 1) // b_tile) * b_tile
+    planes_p = [_pad_axis(p, b_pad, 0) for p in planes]
+    gathered = _gather_tile_planes(planes_p, tile_src, n_comp)
+    px, py, counts, sky, mask = [p[:, None, :] for p in pixel_tiles]
+    g3 = _pad_axis(g, b_pad, 0)[None, None, :]              # [1, 1, B_pad]
+    grid = (t, b_pad // b_tile)
+    width = s_max * n_comp
+    param_spec = pl.BlockSpec((1, b_tile, width), lambda ti, bi: (ti, bi, 0),
+                              memory_space=pltpu.VMEM)
+    pixel_spec = pl.BlockSpec((1, 1, pix), lambda ti, bi: (ti, 0, 0),
+                              memory_space=pltpu.VMEM)
+    lam_spec = pl.BlockSpec((1, b_tile, pix), lambda ti, bi: (ti, bi, 0),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, 1, b_tile), lambda ti, bi: (0, 0, bi),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, width, b_tile), lambda ti, bi: (ti, 0, bi),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_tiled_bwd_kernel, n_comp=n_comp, s_max=s_max),
+        out_shape=tuple(jax.ShapeDtypeStruct((t, width, b_pad), jnp.float32)
+                        for _ in range(6)),
+        grid=grid,
+        in_specs=[param_spec] * 6 + [pixel_spec] * 4 + [lam_spec, g_spec],
+        out_specs=(out_spec,) * 6,
+        interpret=interpret,
+    )(*gathered, px, py, counts, mask, lam, g3)
+    # scatter-add gathered cotangents back to plane columns: slot s of tile
+    # t owns plane columns tile_src[t, s]*C .. +C (repeats accumulate)
+    cols = (tile_src[:, :, None] * n_comp
+            + jnp.arange(n_comp, dtype=tile_src.dtype)[None, None, :])
+    seg_ids = cols.reshape(-1)                              # [T*W]
+    d_planes = []
+    for o in outs:
+        flat = o.reshape(t * width, b_pad)[:, :b]           # [T*W, B]
+        seg = jax.ops.segment_sum(flat, seg_ids, num_segments=plane_w)
+        d_planes.append(seg.T)                              # [B, (S+1)*C]
+    return tuple(d_planes)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _tiled_custom(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpret):
     return _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max,
@@ -325,9 +475,14 @@ def _tiled_custom(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpre
 
 
 def _tiled_fwd(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpret):
-    out = _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max,
-                            b_tile, interpret)
-    return out, (planes, tile_src, pixel_tiles)
+    if interpret:
+        # CPU/debug: plain forward; backward falls back to the jnp mirror
+        out = _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max,
+                                b_tile, interpret)
+        return out, (planes, tile_src, pixel_tiles, None)
+    out, lam = _tiled_pallas_fwd_lam(planes, tile_src, pixel_tiles, n_comp,
+                                     s_max, b_tile, interpret)
+    return out, (planes, tile_src, pixel_tiles, lam)
 
 
 def _bwd_chain_chunk(b: int, s_max: int, n_comp: int, pix: int) -> int:
@@ -341,7 +496,15 @@ def _bwd_chain_chunk(b: int, s_max: int, n_comp: int, pix: int) -> int:
 
 
 def _tiled_bwd(n_comp, s_max, b_tile, interpret, residuals, g):
-    planes, tile_src, pixel_tiles = residuals
+    planes, tile_src, pixel_tiles, lam = residuals
+    import numpy as np
+
+    zero_idx = np.zeros(tile_src.shape, dtype=jax.dtypes.float0)
+    if lam is not None:
+        d_planes = _tiled_bwd_pallas(planes, tile_src, pixel_tiles, lam, g,
+                                     n_comp, s_max, b_tile, interpret)
+        zeros_pix = jax.tree_util.tree_map(jnp.zeros_like, pixel_tiles)
+        return d_planes, zero_idx, zeros_pix
     b = planes[0].shape[0]
     chunk = _bwd_chain_chunk(b, s_max, n_comp, pixel_tiles[0].shape[1])
 
@@ -363,9 +526,6 @@ def _tiled_bwd(n_comp, s_max, b_tile, interpret, residuals, g):
         d_r = jax.lax.map(one, (planes_r, g_r))
         d_planes = tuple(d.reshape(b, -1) for d in d_r)
     zeros_pix = jax.tree_util.tree_map(jnp.zeros_like, pixel_tiles)
-    # integer primal -> float0 cotangent
-    import numpy as np
-    zero_idx = np.zeros(tile_src.shape, dtype=jax.dtypes.float0)
     return d_planes, zero_idx, zeros_pix
 
 

@@ -258,13 +258,17 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
         return _ll_batch(vecs, impl)
 
     # samplers pick this up via value_and_grad_of: vmapped gradients route
-    # through ONE vjp of the batch-major jnp program (measured 7x faster
-    # than vmap(grad(.)) at B=1024 on v5e; see inference/vg.py)
+    # through ONE vjp of the batch-major program (measured 7x faster than
+    # vmap(grad(.)) at B=1024 on v5e; see inference/vg.py).  On TPU that
+    # program is the Pallas forward + Pallas backward kernel pair (grad
+    # 19.5 ms vs 42.9 ms jnp at B=1024, scripts/tpu_session6); on CPU the
+    # jnp mirror avoids interpret-mode kernels in tests.
     from celeste_tpu.inference.vg import batch_aware_value_and_grad
 
+    vg_impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     logdensity.batched = logdensity_batch
     logdensity.value_and_grad = batch_aware_value_and_grad(
-        logdensity, lambda vecs: _ll_batch(vecs, "jnp"))
+        logdensity, lambda vecs: _ll_batch(vecs, vg_impl))
 
     # return shape mirrors the input shape (a list in -> a list out)
     return logdensity, (datas if is_multi else datas[0])

@@ -260,3 +260,55 @@ def test_per_block_radii_tiled_parity():
     lt = np.asarray(jax.vmap(logd)(probe))
     ld = np.asarray(jax.vmap(logd_dense)(probe))
     assert np.max(np.abs(lt - ld) / np.abs(ld)) < 1e-6
+
+
+def test_pallas_backward_kernel_parity():
+    """The Pallas backward (_tiled_bwd_pallas + lambda-residual forward)
+    must match jax.vjp of the jnp mirror on every plane cotangent
+    (interpret mode; the TPU path compiles the identical kernel)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from celeste_tpu.kernels.tiled_field import (
+        _tiled_bwd_pallas, _tiled_jnp, _tiled_pallas_fwd_lam,
+    )
+
+    rng = np.random.default_rng(5)
+    b, s, c, t, pix = 6, 4, 3, 3, 1024
+    plane_w = (s + 1) * c
+    amp = np.abs(rng.normal(1.0, 0.2, (b, plane_w))).astype(np.float32)
+    amp[:, -c:] = 0.0                                   # padding slot
+    mx = rng.uniform(0, 128, (b, plane_w)).astype(np.float32)
+    my = rng.uniform(0, 24, (b, plane_w)).astype(np.float32)
+    pa = np.abs(rng.normal(0.5, 0.1, (b, plane_w))).astype(np.float32)
+    pc = np.abs(rng.normal(0.5, 0.1, (b, plane_w))).astype(np.float32)
+    pb = (0.1 * rng.normal(size=(b, plane_w))).astype(np.float32)
+    planes = tuple(jnp.asarray(x) for x in (amp, mx, my, pa, pb, pc))
+    tile_src = jnp.asarray(rng.integers(0, s + 1, (t, s)), jnp.int32)
+    ys, xs = np.meshgrid(np.arange(8), np.arange(128), indexing="ij")
+    px = np.stack([(xs + 0 * i).reshape(-1) for i in range(t)]).astype(np.float32)
+    py = np.stack([(ys + 8 * i).reshape(-1) for i in range(t)]).astype(np.float32)
+    counts = rng.poisson(5.0, (t, pix)).astype(np.float32)
+    sky = np.full((t, pix), 3.0, np.float32)
+    mask = (rng.random((t, pix)) > 0.1).astype(np.float32)
+    pixel_tiles = tuple(jnp.asarray(x) for x in (px, py, counts, sky, mask))
+
+    g = jnp.asarray(rng.normal(size=b), jnp.float32)
+
+    # reference: vjp of the jnp mirror
+    ll_ref, vjp = jax.vjp(lambda p: _tiled_jnp(p, tile_src, pixel_tiles, c),
+                          planes)
+    d_ref = vjp(g)[0]
+
+    ll, lam = _tiled_pallas_fwd_lam(list(planes), tile_src, pixel_tiles,
+                                    c, s, 128, True)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=2e-5, atol=2e-2)
+    d = _tiled_bwd_pallas(planes, tile_src, pixel_tiles, lam, g, c, s, 128,
+                          True)
+    names = ("amp", "mx", "my", "pa", "pb", "pc")
+    for name, a, r in zip(names, d, d_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=2e-4,
+                                   atol=5e-3, err_msg=name)
