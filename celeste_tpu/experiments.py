@@ -46,6 +46,9 @@ class ExperimentConfig:
     step_size: float = 0.0         # 0 = auto (warmup adaptation)
     max_depth: int = 6
     n_leapfrog: int = 16
+    metric: str = "diag"           # diag | dense (pooled ensemble whitening)
+    tiled: bool = False            # crowded_field: block-sparse tiled loglik
+    n_galaxies: int = 0            # crowded_field: mixed star/galaxy scenes
     # quasar
     n_temps: int = 8
     z_max: float = 6.0
@@ -151,23 +154,57 @@ def _galaxy_problem(cfg: ExperimentConfig):
 
 
 def _crowded_problem(cfg: ExperimentConfig):
-    from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+    from celeste_tpu.data.synthetic import (
+        galaxy_source, make_synthetic_stamp, star_source,
+    )
     from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
 
     rng = np.random.default_rng(cfg.seed)
     half = cfg.shape[0] * 0.396 / 2.0 - 2.0
+    n_gal = min(cfg.n_galaxies, cfg.n_sources)
+    kinds = tuple("galaxy" if i < n_gal else "star"
+                  for i in range(cfg.n_sources))
     srcs = []
     for i in range(cfg.n_sources):
         de, dn = rng.uniform(-half, half, 2)
-        srcs.append(star_source(
-            u=(30 + de / 3600 / np.cos(np.deg2rad(10)), 10 + dn / 3600),
-            flux_r=cfg.flux_r * rng.uniform(0.5, 2.0)))
+        u = (30 + de / 3600 / np.cos(np.deg2rad(10)), 10 + dn / 3600)
+        if kinds[i] == "galaxy":
+            srcs.append(galaxy_source(u=u, flux_r=2.0 * cfg.flux_r,
+                                      sigma=0.8, ab=0.6))
+        else:
+            srcs.append(star_source(u=u, flux_r=cfg.flux_r * rng.uniform(0.5, 2.0)))
     scene = make_synthetic_stamp(srcs, shape=cfg.shape, bands=cfg.bands, seed=cfg.seed)
-    cs = CrowdedScene(kinds=("star",) * cfg.n_sources, n_bands=1)
-    logd = make_crowded_logdensity(cs, [scene.stamps[0]], bands=[0])
-    x0 = np.concatenate([
-        np.concatenate([scene.wcs.equa2duas(s["u"]), [np.log(s["flux"][cfg.bands[0]])]])
-        for s in srcs]).astype(np.float32)
+    cs = CrowdedScene(kinds=kinds, n_bands=1)
+    stamp = scene.stamps[0]
+    if cfg.tiled:
+        # BASELINE config-5 production path: block-sparse tiles with
+        # per-block amplitude-aware support radii
+        from celeste_tpu.model.galaxy import block_support_radii
+        from celeste_tpu.parallel.crowded import make_tiled_crowded_logdensity
+
+        pos_px = np.stack([np.asarray(stamp.duas2pixel(jnp.asarray(
+            scene.wcs.equa2duas(s["u"]), jnp.float32))) for s in srcs])
+        psf_sig = float(np.sqrt(np.max(np.linalg.eigvalsh(
+            np.asarray(stamp.psf.cov)))))
+        radii = block_support_radii(kinds, psf_sigma_px=psf_sig,
+                                    gal_sigma_px=1.5 * 0.8 / 0.396)
+        logd, _ = make_tiled_crowded_logdensity(
+            cs, stamp, band=0, positions_px=pos_px, radii_px=radii,
+            impl="jnp")
+    else:
+        logd = make_crowded_logdensity(cs, [stamp], bands=[0])
+    parts = []
+    for s_, kind in zip(srcs, kinds):
+        du = scene.wcs.equa2duas(s_["u"])
+        if kind == "star":
+            parts.append(np.concatenate([du, [np.log(s_["flux"][cfg.bands[0]])]]))
+        else:
+            th, ab = s_["theta_dev"], s_["ab"]
+            parts.append(np.concatenate(
+                [du, [np.log(s_["flux"][cfg.bands[0]]),
+                      np.log(th / (1 - th)), np.log(s_["sigma"]),
+                      np.log(ab / (1 - ab)), s_["phi"]]]))
+    x0 = np.concatenate(parts).astype(np.float32)
     return scene, logd, x0
 
 
@@ -175,7 +212,8 @@ def run_experiment(cfg: ExperimentConfig):
     """Execute one experiment; returns a results dict (also written to
     cfg.out if set)."""
     from celeste_tpu.inference import (
-        hmc_init, hmc_kernel, hmc_warmup, mh_init, mh_kernel, nuts_kernel,
+        hmc_init, hmc_kernel, hmc_warmup, hmc_warmup_finish, hmc_warmup_init,
+        hmc_warmup_window, mh_init, mh_kernel, nuts_kernel,
         run_chains_ensemble, slice_init, slice_kernel, summarize,
     )
     from celeste_tpu.utils.metrics import MetricsLogger
@@ -248,6 +286,7 @@ def run_experiment(cfg: ExperimentConfig):
     k1, k2, k3 = jax.random.split(key, 3)
     x0b = jnp.asarray(x0)[None, :] + 0.01 * jax.random.normal(k1, (cfg.n_chains, d))
 
+    to_x = None
     if cfg.sampler == "mh":
         kern = mh_kernel(logd, step_scales=jnp.full(d, 0.01))
         init = jax.vmap(lambda x: mh_init(x, logd))(x0b)
@@ -262,6 +301,35 @@ def run_experiment(cfg: ExperimentConfig):
         step_size = cfg.step_size or float(jnp.median(ss))
         inv_mass = jnp.mean(im, axis=0)
         logger.log("warmup", step_size=step_size)
+        if cfg.metric == "dense":
+            # pooled dense metric (inference/whiten.py): probe with the
+            # diagonal kernel, estimate the ensemble covariance, then
+            # sample in the whitened space and map samples back
+            from celeste_tpu.inference import (
+                ensemble_covariance, whiten_logdensity,
+            )
+
+            probe_kern = nuts_kernel(logd, step_size, inv_mass,
+                                     max_depth=cfg.max_depth)
+            s_probe, _, _ = run_chains_ensemble(
+                jax.random.fold_in(k2, 101), probe_kern, states,
+                n_steps=min(16, max(4, cfg.n_warmup // 8)))
+            m_hat, cov_hat = ensemble_covariance(s_probe, ridge=1e-4)
+            logd, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
+            zcar = jax.vmap(lambda z: hmc_warmup_init(z, logd,
+                                                      init_step_size=0.3))(
+                to_z(states.x))
+            n_zw = max(20, cfg.n_warmup // 5)
+            zkeys = jax.vmap(lambda k: jax.random.split(k, n_zw))(
+                jax.random.split(jax.random.fold_in(k2, 102), cfg.n_chains))
+            zcar = jax.vmap(
+                lambda k, c: hmc_warmup_window(k, logd, c, n_warmup=n_zw,
+                                               n_leapfrog=cfg.n_leapfrog))(
+                zkeys, zcar)
+            states, ss_z, _ = jax.vmap(hmc_warmup_finish)(zcar)
+            step_size = float(jnp.median(ss_z))
+            inv_mass = jnp.ones_like(inv_mass)
+            logger.log("dense_metric", step_size=step_size)
         if cfg.sampler == "hmc":
             kern = hmc_kernel(logd, step_size, inv_mass, n_leapfrog=cfg.n_leapfrog)
         else:
@@ -297,6 +365,8 @@ def run_experiment(cfg: ExperimentConfig):
         k_seg = jax.random.fold_in(k3, s_i)
         samples_seg, state, info = run_chains_ensemble(
             k_seg, kern, state, n_steps=seg, thin=cfg.thin)
+        if cfg.metric == "dense" and to_x is not None:
+            samples_seg = to_x(samples_seg)
         chunks.append(samples_seg)
         if cfg.checkpoint_every > 0 and cfg.out:
             ckpt = cfg.out + ".ckpt.npz"
