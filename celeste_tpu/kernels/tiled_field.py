@@ -641,6 +641,81 @@ def _tiled_render_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
     out_ref[0] = lam
 
 
+def _tiled_render_bwd_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
+                             px_ref, py_ref,         # [1, 1, PIX]
+                             g_ref,                  # [1, B_t, PIX]
+                             damp_ref, dmx_ref, dmy_ref, dpa_ref, dpb_ref,
+                             dpc_ref,                # [1, W, B_t]
+                             *, n_comp: int, s_max: int):
+    """Backward of the sky-free lambda-tile render wrt the gathered planes:
+    the cotangent is already per-pixel (the source-sharded path reduces the
+    psum'd lambda outside), so this is the loglik backward minus the
+    counts/lam recovery — one exp per (slot, pixel), no residual needed."""
+    px = px_ref[0]
+    py = py_ref[0]
+    g_lam = g_ref[0]                                        # [B_t, PIX]
+    for k in range(s_max * n_comp):
+        a = amp_ref[0][:, k:k + 1]
+        pa = pa_ref[0][:, k:k + 1]
+        pb = pb_ref[0][:, k:k + 1]
+        pc = pc_ref[0][:, k:k + 1]
+        dx = px - mx_ref[0][:, k:k + 1]
+        dy = py - my_ref[0][:, k:k + 1]
+        e = jnp.exp(-0.5 * pa * dx * dx - pb * dx * dy - 0.5 * pc * dy * dy)
+        ge = g_lam * e
+        dq = (-0.5) * ge * a
+        damp_ref[0, k, :] = jnp.sum(ge, axis=1)
+        dpa_ref[0, k, :] = jnp.sum(dq * dx * dx, axis=1)
+        dpb_ref[0, k, :] = jnp.sum(2.0 * dq * dx * dy, axis=1)
+        dpc_ref[0, k, :] = jnp.sum(dq * dy * dy, axis=1)
+        dmx_ref[0, k, :] = jnp.sum(dq * (-2.0) * (pa * dx + pb * dy), axis=1)
+        dmy_ref[0, k, :] = jnp.sum(dq * (-2.0) * (pb * dx + pc * dy), axis=1)
+
+
+def _tiled_render_bwd_pallas(planes, tile_src, px, py, g, n_comp, s_max,
+                             b_tile, interpret):
+    """Pallas backward for the render variant + the segment-sum scatter
+    back to plane columns.  ``g``: [T, B, PIX] lambda-tile cotangents."""
+    amp = planes[0]
+    b, plane_w = amp.shape
+    t = tile_src.shape[0]
+    pix = px.shape[1]
+    b_tile = min(b_tile, ((b + 7) // 8) * 8)
+    b_pad = ((b + b_tile - 1) // b_tile) * b_tile
+    planes_p = [_pad_axis(p, b_pad, 0) for p in planes]
+    gathered = _gather_tile_planes(planes_p, tile_src, n_comp)
+    g_p = _pad_axis(g, b_pad, 1)                            # [T, B_pad, PIX]
+    pixel3 = [p[:, None, :] for p in (px, py)]
+    grid = (t, b_pad // b_tile)
+    width = s_max * n_comp
+    param_spec = pl.BlockSpec((1, b_tile, width), lambda ti, bi: (ti, bi, 0),
+                              memory_space=pltpu.VMEM)
+    pixel_spec = pl.BlockSpec((1, 1, pix), lambda ti, bi: (ti, 0, 0),
+                              memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, b_tile, pix), lambda ti, bi: (ti, bi, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, width, b_tile), lambda ti, bi: (ti, 0, bi),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_tiled_render_bwd_kernel, n_comp=n_comp, s_max=s_max),
+        out_shape=tuple(jax.ShapeDtypeStruct((t, width, b_pad), jnp.float32)
+                        for _ in range(6)),
+        grid=grid,
+        in_specs=[param_spec] * 6 + [pixel_spec] * 2 + [g_spec],
+        out_specs=(out_spec,) * 6,
+        interpret=interpret,
+    )(*gathered, *pixel3, g_p)
+    cols = (tile_src[:, :, None] * n_comp
+            + jnp.arange(n_comp, dtype=tile_src.dtype)[None, None, :])
+    seg_ids = cols.reshape(-1)
+    d_planes = []
+    for o in outs:
+        flat = o.reshape(t * width, b_pad)[:, :b]
+        seg = jax.ops.segment_sum(flat, seg_ids, num_segments=plane_w)
+        d_planes.append(seg.T)
+    return tuple(d_planes)
+
+
 def _tiled_render_jnp(planes, tile_src, px, py, n_comp):
     """Dense mirror: [B, (S+1)*C] planes -> sky-free lambda tiles
     [T, B, PIX] (shares the per-tile math with _tiled_jnp)."""
@@ -696,6 +771,13 @@ def _tiled_render_fwd(planes, tile_src, px, py, n_comp, s_max, b_tile, interpret
 
 def _tiled_render_bwd(n_comp, s_max, b_tile, interpret, residuals, g):
     planes, tile_src, px, py = residuals
+    import numpy as _np
+
+    if not interpret:
+        d_planes = _tiled_render_bwd_pallas(planes, tile_src, px, py, g,
+                                            n_comp, s_max, b_tile, interpret)
+        return (d_planes, _np.zeros(tile_src.shape, dtype=jax.dtypes.float0),
+                jnp.zeros_like(px), jnp.zeros_like(py))
     b = planes[0].shape[0]
     chunk = _bwd_chain_chunk(b, s_max, n_comp, px.shape[1])
 

@@ -312,3 +312,44 @@ def test_pallas_backward_kernel_parity():
     for name, a, r in zip(names, d, d_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=2e-4,
                                    atol=5e-3, err_msg=name)
+
+
+def test_pallas_render_backward_kernel_parity():
+    """The render variant's Pallas backward (_tiled_render_bwd_pallas) must
+    match jax.vjp of the jnp render mirror — this is the gradient path of
+    the source-SHARDED tiled likelihood (lambda psum'd before the log)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from celeste_tpu.kernels.tiled_field import (
+        _tiled_render_bwd_pallas, _tiled_render_jnp,
+    )
+
+    rng = np.random.default_rng(8)
+    b, s, c, t, pix = 5, 3, 3, 2, 1024
+    plane_w = (s + 1) * c
+    amp = np.abs(rng.normal(1.0, 0.2, (b, plane_w))).astype(np.float32)
+    amp[:, -c:] = 0.0
+    mx = rng.uniform(0, 128, (b, plane_w)).astype(np.float32)
+    my = rng.uniform(0, 16, (b, plane_w)).astype(np.float32)
+    pa = np.abs(rng.normal(0.5, 0.1, (b, plane_w))).astype(np.float32)
+    pc = np.abs(rng.normal(0.5, 0.1, (b, plane_w))).astype(np.float32)
+    pb = (0.1 * rng.normal(size=(b, plane_w))).astype(np.float32)
+    planes = tuple(jnp.asarray(x) for x in (amp, mx, my, pa, pb, pc))
+    tile_src = jnp.asarray(rng.integers(0, s + 1, (t, s)), jnp.int32)
+    ys, xs = np.meshgrid(np.arange(8), np.arange(128), indexing="ij")
+    px = np.stack([xs.reshape(-1)] * t).astype(np.float32)
+    py = np.stack([(ys + 8 * i).reshape(-1) for i in range(t)]).astype(np.float32)
+    px_j, py_j = jnp.asarray(px), jnp.asarray(py)
+    g = jnp.asarray(rng.normal(size=(t, b, pix)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda p: _tiled_render_jnp(p, tile_src, px_j, py_j, c),
+                     planes)
+    d_ref = vjp(g)[0]
+    d = _tiled_render_bwd_pallas(planes, tile_src, px_j, py_j, g, c, s, 128,
+                                 True)
+    for name, a, r in zip(("amp", "mx", "my", "pa", "pb", "pc"), d, d_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=2e-4,
+                                   atol=5e-3, err_msg=name)
