@@ -24,5 +24,10 @@ from celeste_tpu.inference.hmc import (  # noqa: F401
 from celeste_tpu.inference.vg import batch_aware_value_and_grad, value_and_grad_of  # noqa: F401
 from celeste_tpu.inference.whiten import ensemble_covariance, whiten_logdensity  # noqa: F401
 from celeste_tpu.inference.nuts import nuts_kernel  # noqa: F401
+from celeste_tpu.inference.chees import (  # noqa: F401
+    chees_init,
+    chees_warmup,
+    run_chees_ensemble,
+)
 from celeste_tpu.inference.runner import run_chains, run_chains_ensemble  # noqa: F401
 from celeste_tpu.inference.diagnostics import ess, split_rhat, summarize  # noqa: F401

@@ -1,0 +1,230 @@
+"""ChEES-HMC: ensemble-adaptive jittered HMC (Hoffman, Radul & Sountsov,
+AISTATS 2021) — the TPU-native complement to NUTS.
+
+Why this exists here: NUTS under ``vmap`` pays the FULL 2^max_depth
+leapfrog budget every step — per-chain early exit dies under batching
+(lax.cond with a batched predicate runs both branches), so realized tree
+depth doesn't reduce wall time (measured: capping max_depth is the only
+lever, DESIGN.md §5).  ChEES-HMC removes the tree entirely:
+
+- ONE jittered trajectory length per step, SHARED by every chain in the
+  ensemble → the leapfrog loop is a single ``fori_loop`` whose trip count
+  is the actual trajectory length; compute ∝ realized work, chains stay in
+  lockstep, full batch efficiency;
+- the trajectory length T is adapted by Adam ascent on the ChEES
+  criterion, whose expectation is estimated ACROSS the chain ensemble —
+  the O(1e3) vmapped chains this framework runs everywhere are exactly
+  the estimator the algorithm wants;
+- step size adapts by dual averaging on the ensemble-mean accept rate.
+
+Everything here is batch-major: states are [B, D], the logdensity is
+consumed through its ``.batched``/batch-aware vg when present
+(inference/vg.py), so the tiled crowded-field gradients keep their Pallas
+fast path.  jitter u_t ~ Halton(t) (low-discrepancy, as in the paper) is
+identical across chains by construction.
+
+References: SURVEY.md §2.2 (DP analog: chain ensembles), §7 design stance
+"samplers are pure (key, state) -> state kernels"; the ensemble-level
+adaptation is the deliberate exception and is documented in DESIGN.md §5.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from celeste_tpu.inference.vg import value_and_grad_of
+
+
+def _halton(i, base=2):
+    """Halton sequence term i (base 2), traced-friendly: 24-bit radical
+    inverse via bit twiddling."""
+    i = i.astype(jnp.uint32) + 1
+    # reverse the low 24 bits
+    b = jnp.zeros((), jnp.uint32)
+    x = i
+    for _ in range(24):
+        b = (b << 1) | (x & 1)
+        x = x >> 1
+    return b.astype(jnp.float32) / jnp.float32(1 << 24)
+
+
+class ChEESState(NamedTuple):
+    xs: jax.Array          # [B, D]
+    logps: jax.Array       # [B]
+    grads: jax.Array       # [B, D]
+
+
+class ChEESAdaptState(NamedTuple):
+    log_eps: jax.Array
+    log_eps_avg: jax.Array
+    da_t: jax.Array        # dual-averaging iteration
+    da_gbar: jax.Array     # running accept-error
+    log_T: jax.Array       # trajectory length (time units)
+    adam_m: jax.Array
+    adam_v: jax.Array
+    adam_t: jax.Array
+
+
+class ChEESInfo(NamedTuple):
+    accept_rate: jax.Array
+    n_leapfrog: jax.Array
+    trajectory_length: jax.Array
+    step_size: jax.Array
+
+
+def chees_init(xs, logdensity_fn):
+    vg = value_and_grad_of(logdensity_fn)
+    logps, grads = jax.vmap(vg)(xs)
+    return ChEESState(xs=jnp.asarray(xs), logps=logps, grads=grads)
+
+
+def _ensemble_step(key, state: ChEESState, vg, inv_mass, eps, n_leap,
+                   max_leapfrog: int):
+    """One jittered-HMC step of the WHOLE ensemble; n_leap is a traced
+    scalar shared by all chains (fori_loop trip count)."""
+    b, d = state.xs.shape
+    k_mom, k_acc = jax.random.split(key)
+    sqrt_mass = 1.0 / jnp.sqrt(inv_mass)
+    p0 = sqrt_mass[None, :] * jax.random.normal(k_mom, (b, d), state.xs.dtype)
+    energy0 = -state.logps + 0.5 * jnp.sum(inv_mass[None, :] * p0 * p0, -1)
+
+    def leap(_, carry):
+        x, p, logp, g = carry
+        p_half = p + 0.5 * eps * g
+        x_new = x + eps * inv_mass[None, :] * p_half
+        logp_new, g_new = jax.vmap(vg)(x_new)
+        p_new = p_half + 0.5 * eps * g_new
+        return x_new, p_new, logp_new, g_new
+
+    n_leap = jnp.clip(n_leap, 1, max_leapfrog)
+    x1, p1, logp1, g1 = jax.lax.fori_loop(
+        0, n_leap, leap, (state.xs, p0, state.logps, state.grads))
+    energy1 = -logp1 + 0.5 * jnp.sum(inv_mass[None, :] * p1 * p1, -1)
+    d_energy = jnp.where(jnp.isfinite(energy1), energy0 - energy1, -jnp.inf)
+    accept_prob = jnp.minimum(1.0, jnp.exp(d_energy))
+    accept = jax.random.uniform(k_acc, (b,)) < accept_prob
+    new = ChEESState(
+        xs=jnp.where(accept[:, None], x1, state.xs),
+        logps=jnp.where(accept, logp1, state.logps),
+        grads=jnp.where(accept[:, None], g1, state.grads),
+    )
+    # velocity at the proposal end (for the ChEES gradient)
+    v1 = inv_mass[None, :] * p1
+    return new, accept_prob, x1, v1
+
+
+def _chees_grad(xs, x1, v1, accept_prob, halved):
+    """d ChEES / d log T estimator pooled over chains (paper eq. 8-ish):
+    w * Delta * <x' - mu', v'>, importance-weighted by accept prob.
+
+    Divergent proposals carry non-finite x1/v1 with accept_prob == 0; they
+    must be masked BEFORE entering the means/products (0 * inf = nan would
+    otherwise poison log_T permanently — seen on real stamp posteriors)."""
+    finite = jnp.isfinite(jnp.sum(x1, -1) + jnp.sum(v1, -1))
+    x1 = jnp.where(finite[:, None], x1, xs)
+    v1 = jnp.where(finite[:, None], v1, 0.0)
+    w_raw = jnp.where(finite, accept_prob, 0.0)
+    mu0 = jnp.mean(xs, 0, keepdims=True)
+    mu1 = jnp.sum(jnp.where(finite[:, None], x1, 0.0), 0, keepdims=True) \
+        / jnp.maximum(jnp.sum(finite), 1)
+    delta = (jnp.sum((x1 - mu1) ** 2, -1) - jnp.sum((xs - mu0) ** 2, -1))
+    term = delta * jnp.sum((x1 - mu1) * v1, -1)
+    w = w_raw / jnp.maximum(jnp.sum(w_raw), 1e-6)
+    return jnp.sum(w * term) * halved
+
+
+def chees_warmup(key, logdensity_fn, xs0, n_warmup: int = 200,
+                 init_step_size: float = 0.1, init_trajectory: float = 1.0,
+                 target_accept: float = 0.651, max_leapfrog: int = 256,
+                 adam_lr: float = 0.025):
+    """Joint (eps, T) adaptation on the ensemble.  Returns
+    (ChEESState, step_size, trajectory_length).
+
+    Diagonal-mass note: run this in whitened space (inference/whiten.py)
+    for correlated targets; inv_mass is fixed to ones here — ChEES's own T
+    adaptation subsumes the scale freedom the diagonal mass would carry.
+    """
+    vg = value_and_grad_of(logdensity_fn)
+    xs0 = jnp.asarray(xs0)
+    d = xs0.shape[-1]
+    inv_mass = jnp.ones((d,), jnp.float32)
+    state0 = chees_init(xs0, logdensity_fn)
+    mu = jnp.log(10.0 * init_step_size)
+
+    adapt0 = ChEESAdaptState(
+        log_eps=jnp.log(jnp.float32(init_step_size)),
+        log_eps_avg=jnp.log(jnp.float32(init_step_size)),
+        da_t=jnp.float32(0.0), da_gbar=jnp.float32(0.0),
+        log_T=jnp.log(jnp.float32(init_trajectory)),
+        adam_m=jnp.float32(0.0), adam_v=jnp.float32(0.0),
+        adam_t=jnp.float32(0.0))
+
+    def step(carry, inp):
+        state, ad = carry
+        key_t, i = inp
+        eps = jnp.exp(ad.log_eps)
+        u = _halton(i)
+        traj = u * jnp.exp(ad.log_T)
+        n_leap = jnp.maximum(1, jnp.round(traj / eps)).astype(jnp.int32)
+        halved = jnp.where(n_leap > max_leapfrog, 0.0, 1.0)
+        new, accept_prob, x1, v1 = _ensemble_step(
+            key_t, state, vg, inv_mass, eps, n_leap, max_leapfrog)
+        # --- dual averaging on pooled accept rate (Nesterov/Stan schedule)
+        acc = jnp.mean(accept_prob)
+        t = ad.da_t + 1.0
+        gbar = (1.0 - 1.0 / (t + 10.0)) * ad.da_gbar + \
+            (target_accept - acc) / (t + 10.0)
+        log_eps = mu - jnp.sqrt(t) / 0.05 * gbar
+        w = t ** -0.75
+        log_eps_avg = w * log_eps + (1.0 - w) * ad.log_eps_avg
+        # --- Adam ascent on dChEES/dlogT (gradient wrt T times T)
+        g_T = _chees_grad(state.xs, x1, v1, accept_prob, halved) \
+            * jnp.exp(ad.log_T) * u
+        g_T = jnp.where(jnp.isfinite(g_T), g_T, 0.0)
+        at = ad.adam_t + 1.0
+        m = 0.9 * ad.adam_m + 0.1 * g_T
+        v = 0.999 * ad.adam_v + 0.001 * g_T * g_T
+        mhat = m / (1.0 - 0.9 ** at)
+        vhat = v / (1.0 - 0.999 ** at)
+        log_T = ad.log_T + adam_lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        # keep T within sane physical bounds relative to eps
+        log_T = jnp.clip(log_T, jnp.log(eps), jnp.log(eps * max_leapfrog))
+        ad_new = ChEESAdaptState(log_eps=log_eps, log_eps_avg=log_eps_avg,
+                                 da_t=t, da_gbar=gbar, log_T=log_T,
+                                 adam_m=m, adam_v=v, adam_t=at)
+        return (new, ad_new), acc
+
+    keys = jax.random.split(key, n_warmup)
+    (state, ad), _ = jax.lax.scan(step, (state0, adapt0),
+                                  (keys, jnp.arange(n_warmup)))
+    return state, jnp.exp(ad.log_eps_avg), jnp.exp(ad.log_T)
+
+
+def run_chees_ensemble(key, logdensity_fn, state: ChEESState, n_steps: int,
+                       step_size, trajectory_length, max_leapfrog: int = 256):
+    """Sample with frozen (eps, T), jittered per step (Halton).  Returns
+    (samples [B, n_steps, D], final state, ChEESInfo of per-step means)."""
+    vg = value_and_grad_of(logdensity_fn)
+    d = state.xs.shape[-1]
+    inv_mass = jnp.ones((d,), jnp.float32)
+    eps = jnp.float32(step_size)
+
+    def step(state, inp):
+        key_t, i = inp
+        u = _halton(i)
+        traj = u * jnp.float32(trajectory_length)
+        n_leap = jnp.maximum(1, jnp.round(traj / eps)).astype(jnp.int32)
+        new, accept_prob, _, _ = _ensemble_step(
+            key_t, state, vg, inv_mass, eps, n_leap, max_leapfrog)
+        info = ChEESInfo(accept_rate=jnp.mean(accept_prob),
+                         n_leapfrog=n_leap,
+                         trajectory_length=traj, step_size=eps)
+        return new, (new.xs, info)
+
+    keys = jax.random.split(key, n_steps)
+    state, (samples, infos) = jax.lax.scan(step, state,
+                                           (keys, jnp.arange(n_steps)))
+    return jnp.swapaxes(samples, 0, 1), state, infos

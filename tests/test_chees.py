@@ -1,0 +1,83 @@
+"""ChEES-HMC correctness (inference/chees.py): ensemble-adaptive jittered
+HMC must recover the moments of a correlated Gaussian, and its joint
+(step size, trajectory length) adaptation must land in sane ranges.
+
+Same analytic-target gate as tests/test_samplers.py (SURVEY.md §4 item 3c);
+ChEES is additionally checked for the property that motivates it — the
+adapted trajectory length scales with the target's widest direction.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from celeste_tpu.inference import (
+    chees_init,
+    chees_warmup,
+    run_chees_ensemble,
+    split_rhat,
+)
+
+COV = np.array([[2.0, 0.9, -0.4], [0.9, 1.0, 0.3], [-0.4, 0.3, 0.7]])
+MEAN = np.array([1.0, -2.0, 0.5])
+PREC = np.linalg.inv(COV)
+
+
+def logdensity(x):
+    d = x - jnp.asarray(MEAN, jnp.float32)
+    return -0.5 * d @ jnp.asarray(PREC, jnp.float32) @ d
+
+
+def test_chees_gaussian_moments():
+    """Warmup + frozen-(eps, T) run recovers mean/cov; chains mix (rhat)."""
+    n_chains = 64
+    x0 = jnp.asarray(MEAN, jnp.float32) + jax.random.normal(
+        jax.random.key(0), (n_chains, 3))
+    state, eps, traj = jax.jit(
+        lambda k, x: chees_warmup(k, logdensity, x, n_warmup=300)
+    )(jax.random.key(1), x0)
+    eps_f, traj_f = float(eps), float(traj)
+    assert 0.01 < eps_f < 5.0, eps_f
+    assert eps_f <= traj_f, (eps_f, traj_f)
+    samples, _, infos = jax.jit(lambda k, s: run_chees_ensemble(
+        k, logdensity, s, n_steps=600, step_size=eps_f,
+        trajectory_length=traj_f))(jax.random.key(2), state)
+    acc = float(jnp.mean(infos.accept_rate))
+    assert acc > 0.5, acc
+    kept = np.asarray(samples[:, 150:])
+    flat = kept.reshape(-1, 3)
+    np.testing.assert_allclose(flat.mean(0), MEAN, atol=0.12)
+    np.testing.assert_allclose(np.cov(flat.T), COV, atol=0.3)
+    r = np.asarray(split_rhat(kept))
+    assert np.all(r < 1.1), r
+
+
+def test_chees_trajectory_tracks_scale():
+    """On isotropic N(0, s^2 I) the ChEES-optimal trajectory is ~ s (a
+    quarter period is (pi/2)s); adapting on s=4 must produce a much longer
+    trajectory than on s=0.25."""
+
+    def make_logd(s):
+        inv = 1.0 / (s * s)
+        return lambda x: -0.5 * inv * jnp.sum(x * x)
+
+    trajs = {}
+    for s in (0.25, 4.0):
+        x0 = s * jax.random.normal(jax.random.key(3), (64, 3))
+        _, eps, traj = jax.jit(
+            lambda k, x, s=s: chees_warmup(k, make_logd(s), x, n_warmup=400,
+                                           init_step_size=0.1 * s)
+        )(jax.random.key(4), x0)
+        trajs[s] = float(traj)
+    assert trajs[4.0] > 4.0 * trajs[0.25], trajs
+
+
+def test_chees_init_state_shapes():
+    xs = jax.random.normal(jax.random.key(5), (8, 3))
+    st = chees_init(xs, logdensity)
+    assert st.xs.shape == (8, 3)
+    assert st.logps.shape == (8,)
+    assert st.grads.shape == (8, 3)
+    lp = np.asarray(jax.vmap(logdensity)(xs))
+    np.testing.assert_allclose(np.asarray(st.logps), lp, rtol=1e-5)
