@@ -31,7 +31,7 @@ import jax.numpy as jnp
 @dataclass
 class ExperimentConfig:
     name: str = "star_single"
-    sampler: str = "nuts"          # mh | slice | hmc | nuts | tempered_slice
+    sampler: str = "nuts"          # mh | slice | hmc | nuts | chees | tempered_slice
     n_chains: int = 64
     n_steps: int = 1000
     n_warmup: int = 300
@@ -332,9 +332,27 @@ def run_experiment(cfg: ExperimentConfig):
             logger.log("dense_metric", step_size=step_size)
         if cfg.sampler == "hmc":
             kern = hmc_kernel(logd, step_size, inv_mass, n_leapfrog=cfg.n_leapfrog)
+            init = states
+        elif cfg.sampler == "chees":
+            # ensemble-adaptive jittered HMC (inference/chees.py): joint
+            # (eps, T) adaptation pooled across the chain ensemble; pairs
+            # naturally with metric=dense (ChEES assumes unit mass — the
+            # whitening supplies it)
+            from celeste_tpu.inference import chees_warmup
+
+            kern = None
+            init, chees_eps, chees_traj = chees_warmup(
+                jax.random.fold_in(k2, 103), logd, states.x,
+                n_warmup=max(100, cfg.n_warmup // 2),
+                init_step_size=step_size,
+                max_leapfrog=4 * cfg.n_leapfrog)
+            chees_eps = float(chees_eps)
+            chees_traj = float(chees_traj)
+            logger.log("chees_warmup", step_size=chees_eps,
+                       trajectory_length=chees_traj)
         else:
             kern = nuts_kernel(logd, step_size, inv_mass, max_depth=cfg.max_depth)
-        init = states
+            init = states
 
     # sampling loop, optionally segmented with checkpoints (SURVEY.md §5.4:
     # exact resume via pytree state + per-segment PRNG keys)
@@ -360,11 +378,22 @@ def run_experiment(cfg: ExperimentConfig):
     seg = cfg.checkpoint_every if cfg.checkpoint_every > 0 else cfg.n_steps
     assert cfg.n_steps % seg == 0, "checkpoint_every must divide n_steps"
     n_segments = cfg.n_steps // seg
+
+    def _run_segment(k_seg, st):
+        if cfg.sampler == "chees":
+            assert cfg.thin == 1, "chees sampler does not support thinning"
+            from celeste_tpu.inference import run_chees_ensemble
+
+            return run_chees_ensemble(k_seg, logd, st, n_steps=seg,
+                                      step_size=chees_eps,
+                                      trajectory_length=chees_traj,
+                                      max_leapfrog=4 * cfg.n_leapfrog)
+        return run_chains_ensemble(k_seg, kern, st, n_steps=seg, thin=cfg.thin)
+
     state = init
     for s_i in range(start_seg, n_segments):
         k_seg = jax.random.fold_in(k3, s_i)
-        samples_seg, state, info = run_chains_ensemble(
-            k_seg, kern, state, n_steps=seg, thin=cfg.thin)
+        samples_seg, state, info = _run_segment(k_seg, state)
         if cfg.metric == "dense" and to_x is not None:
             samples_seg = to_x(samples_seg)
         chunks.append(samples_seg)

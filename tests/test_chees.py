@@ -73,6 +73,19 @@ def test_chees_trajectory_tracks_scale():
     assert trajs[4.0] > 4.0 * trajs[0.25], trajs
 
 
+def test_chees_via_experiment_runner():
+    """sampler="chees" flows through the experiment runner (warmup ->
+    whitening -> segmented run) and converges on the star posterior."""
+    from celeste_tpu.experiments import ExperimentConfig, run_experiment
+
+    cfg = ExperimentConfig(name="star_single", sampler="chees", n_chains=8,
+                           n_steps=200, n_warmup=100, metric="dense",
+                           shape=(15, 15))
+    r = run_experiment(cfg)
+    assert float(np.max(r["rhat"])) < 1.1
+    assert float(np.min(r["ess"])) > 50.0
+
+
 def test_chees_init_state_shapes():
     xs = jax.random.normal(jax.random.key(5), (8, 3))
     st = chees_init(xs, logdensity)
