@@ -379,7 +379,7 @@ def run_experiment(cfg: ExperimentConfig):
     assert cfg.n_steps % seg == 0, "checkpoint_every must divide n_steps"
     n_segments = cfg.n_steps // seg
 
-    def _run_segment(k_seg, st):
+    def _run_segment(k_seg, st, s_i):
         if cfg.sampler == "chees":
             assert cfg.thin == 1, "chees sampler does not support thinning"
             from celeste_tpu.inference import run_chees_ensemble
@@ -387,13 +387,14 @@ def run_experiment(cfg: ExperimentConfig):
             return run_chees_ensemble(k_seg, logd, st, n_steps=seg,
                                       step_size=chees_eps,
                                       trajectory_length=chees_traj,
-                                      max_leapfrog=4 * cfg.n_leapfrog)
+                                      max_leapfrog=4 * cfg.n_leapfrog,
+                                      start_iter=s_i * seg)
         return run_chains_ensemble(k_seg, kern, st, n_steps=seg, thin=cfg.thin)
 
     state = init
     for s_i in range(start_seg, n_segments):
         k_seg = jax.random.fold_in(k3, s_i)
-        samples_seg, state, info = _run_segment(k_seg, state)
+        samples_seg, state, info = _run_segment(k_seg, state, s_i)
         if cfg.metric == "dense" and to_x is not None:
             samples_seg = to_x(samples_seg)
         chunks.append(samples_seg)

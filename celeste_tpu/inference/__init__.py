@@ -27,6 +27,9 @@ from celeste_tpu.inference.nuts import nuts_kernel  # noqa: F401
 from celeste_tpu.inference.chees import (  # noqa: F401
     chees_init,
     chees_warmup,
+    chees_warmup_finish,
+    chees_warmup_init,
+    chees_warmup_window,
     run_chees_ensemble,
 )
 from celeste_tpu.inference.runner import run_chains, run_chains_ensemble  # noqa: F401

@@ -136,24 +136,12 @@ def _chees_grad(xs, x1, v1, accept_prob, halved):
     return jnp.sum(w * term) * halved
 
 
-def chees_warmup(key, logdensity_fn, xs0, n_warmup: int = 200,
-                 init_step_size: float = 0.1, init_trajectory: float = 1.0,
-                 target_accept: float = 0.651, max_leapfrog: int = 256,
-                 adam_lr: float = 0.025):
-    """Joint (eps, T) adaptation on the ensemble.  Returns
-    (ChEESState, step_size, trajectory_length).
-
-    Diagonal-mass note: run this in whitened space (inference/whiten.py)
-    for correlated targets; inv_mass is fixed to ones here — ChEES's own T
-    adaptation subsumes the scale freedom the diagonal mass would carry.
-    """
-    vg = value_and_grad_of(logdensity_fn)
-    xs0 = jnp.asarray(xs0)
-    d = xs0.shape[-1]
-    inv_mass = jnp.ones((d,), jnp.float32)
-    state0 = chees_init(xs0, logdensity_fn)
-    mu = jnp.log(10.0 * init_step_size)
-
+def chees_warmup_init(xs0, logdensity_fn, init_step_size: float = 0.1,
+                      init_trajectory: float = 1.0):
+    """Start the segmentable ChEES warmup: returns the (state, adapt)
+    carry that ``chees_warmup_window`` advances (SURVEY.md §5.4 pattern —
+    bounded device calls, checkpointable, bitwise == the monolithic run)."""
+    state0 = chees_init(jnp.asarray(xs0), logdensity_fn)
     adapt0 = ChEESAdaptState(
         log_eps=jnp.log(jnp.float32(init_step_size)),
         log_eps_avg=jnp.log(jnp.float32(init_step_size)),
@@ -161,10 +149,32 @@ def chees_warmup(key, logdensity_fn, xs0, n_warmup: int = 200,
         log_T=jnp.log(jnp.float32(init_trajectory)),
         adam_m=jnp.float32(0.0), adam_v=jnp.float32(0.0),
         adam_t=jnp.float32(0.0))
+    return state0, adapt0
 
-    def step(carry, inp):
+
+def chees_warmup_window(key, logdensity_fn, carry, n_iters: int,
+                        init_step_size: float = 0.1,
+                        target_accept: float = 0.651,
+                        max_leapfrog: int = 256, adam_lr: float = 0.025):
+    """Advance the warmup ``n_iters`` steps.  The Halton/dual-averaging
+    iteration index rides in the carry (``da_t``), so windows compose:
+    window(k1, 50) ∘ window(k0, 50)  ==  one 100-step window, given the
+    matching key split.  ``init_step_size`` must match the init call (it
+    anchors the dual-averaging prior mean mu = log(10 * eps0)).
+
+    ``key`` may be a single key (split internally) or a pre-split
+    [n_iters] key array — pass consecutive slices of one
+    ``jax.random.split(key, total)`` to make windows compose bitwise with
+    the monolithic run."""
+    vg = value_and_grad_of(logdensity_fn)
+    state0, adapt0 = carry
+    d = state0.xs.shape[-1]
+    inv_mass = jnp.ones((d,), jnp.float32)
+    mu = jnp.log(10.0 * init_step_size)
+
+    def step(carry, key_t):
         state, ad = carry
-        key_t, i = inp
+        i = ad.da_t.astype(jnp.int32)        # global iteration index
         eps = jnp.exp(ad.log_eps)
         u = _halton(i)
         traj = u * jnp.exp(ad.log_T)
@@ -197,16 +207,45 @@ def chees_warmup(key, logdensity_fn, xs0, n_warmup: int = 200,
                                  adam_m=m, adam_v=v, adam_t=at)
         return (new, ad_new), acc
 
-    keys = jax.random.split(key, n_warmup)
-    (state, ad), _ = jax.lax.scan(step, (state0, adapt0),
-                                  (keys, jnp.arange(n_warmup)))
+    keys = key if key.ndim == 1 else jax.random.split(key, n_iters)
+    assert keys.shape[0] == n_iters
+    (state, ad), _ = jax.lax.scan(step, (state0, adapt0), keys)
+    return state, ad
+
+
+def chees_warmup_finish(carry):
+    state, ad = carry
     return state, jnp.exp(ad.log_eps_avg), jnp.exp(ad.log_T)
 
 
+def chees_warmup(key, logdensity_fn, xs0, n_warmup: int = 200,
+                 init_step_size: float = 0.1, init_trajectory: float = 1.0,
+                 target_accept: float = 0.651, max_leapfrog: int = 256,
+                 adam_lr: float = 0.025):
+    """Joint (eps, T) adaptation on the ensemble.  Returns
+    (ChEESState, step_size, trajectory_length).
+
+    Diagonal-mass note: run this in whitened space (inference/whiten.py)
+    for correlated targets; inv_mass is fixed to ones here — ChEES's own T
+    adaptation subsumes the scale freedom the diagonal mass would carry.
+    """
+    carry = chees_warmup_init(xs0, logdensity_fn, init_step_size,
+                              init_trajectory)
+    carry = chees_warmup_window(key, logdensity_fn, carry, n_warmup,
+                                init_step_size=init_step_size,
+                                target_accept=target_accept,
+                                max_leapfrog=max_leapfrog, adam_lr=adam_lr)
+    return chees_warmup_finish(carry)
+
+
 def run_chees_ensemble(key, logdensity_fn, state: ChEESState, n_steps: int,
-                       step_size, trajectory_length, max_leapfrog: int = 256):
+                       step_size, trajectory_length, max_leapfrog: int = 256,
+                       start_iter: int = 0):
     """Sample with frozen (eps, T), jittered per step (Halton).  Returns
-    (samples [B, n_steps, D], final state, ChEESInfo of per-step means)."""
+    (samples [B, n_steps, D], final state, ChEESInfo of per-step means).
+
+    ``start_iter`` offsets the Halton jitter index so segmented runs
+    continue the low-discrepancy sequence instead of repeating it."""
     vg = value_and_grad_of(logdensity_fn)
     d = state.xs.shape[-1]
     inv_mass = jnp.ones((d,), jnp.float32)
@@ -225,6 +264,6 @@ def run_chees_ensemble(key, logdensity_fn, state: ChEESState, n_steps: int,
         return new, (new.xs, info)
 
     keys = jax.random.split(key, n_steps)
-    state, (samples, infos) = jax.lax.scan(step, state,
-                                           (keys, jnp.arange(n_steps)))
+    idx = start_iter + jnp.arange(n_steps)
+    state, (samples, infos) = jax.lax.scan(step, state, (keys, idx))
     return jnp.swapaxes(samples, 0, 1), state, infos

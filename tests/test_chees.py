@@ -73,6 +73,29 @@ def test_chees_trajectory_tracks_scale():
     assert trajs[4.0] > 4.0 * trajs[0.25], trajs
 
 
+def test_chees_warmup_windows_compose():
+    """Two 50-step windows with the matching key split must reproduce the
+    monolithic 100-step warmup bitwise (the TPU path runs warmup segmented
+    because the axon tunnel kills long device calls)."""
+    from celeste_tpu.inference import (
+        chees_warmup_finish, chees_warmup_init, chees_warmup_window,
+    )
+
+    x0 = jnp.asarray(MEAN, jnp.float32) + jax.random.normal(
+        jax.random.key(6), (32, 3))
+    key = jax.random.key(7)
+    st_m, eps_m, traj_m = chees_warmup(key, logdensity, x0, n_warmup=100)
+
+    keys = jax.random.split(key, 100)
+    carry = chees_warmup_init(x0, logdensity)
+    carry = chees_warmup_window(keys[:50], logdensity, carry, n_iters=50)
+    carry = chees_warmup_window(keys[50:], logdensity, carry, n_iters=50)
+    st_w, eps_w, traj_w = chees_warmup_finish(carry)
+    assert float(eps_m) == float(eps_w)
+    assert float(traj_m) == float(traj_w)
+    np.testing.assert_array_equal(np.asarray(st_m.xs), np.asarray(st_w.xs))
+
+
 def test_chees_via_experiment_runner():
     """sampler="chees" flows through the experiment runner (warmup ->
     whitening -> segmented run) and converges on the star posterior."""
