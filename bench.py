@@ -154,22 +154,23 @@ def _bench_tiled_field():
 def _bench_config5_tiled(n_chains=1024, n_steps=96, n_warmup=150,
                          warmup_window=50, run_segment=16):
     """BASELINE config 5 AS WRITTEN (VERDICT r1 #3): 12 overlapping sources
-    (10 stars + 2 galaxies — production fields are mixed-kind), 1024
-    chains, NUTS, block-sparse TILED likelihood, single chip.  Returns
-    (min ESS/sec, divergence fraction, max |tiled - dense| parity gap).
+    (10 stars + 2 galaxies - production fields are mixed-kind), 1024
+    chains, block-sparse TILED likelihood, single chip.  Returns
+    (nuts min ESS/sec, divergence fraction, max |tiled - dense| parity gap,
+    chees min ESS/sec).
 
-    Execution is SEGMENTED: the axon tunnel kills device calls somewhere in
-    the 60-120 s band (measured, scripts/tpu_session4/5), so warmup runs as
-    ``hmc_warmup_window`` slices and NUTS as ``run_segment``-step
-    ``run_chains_ensemble`` calls — numerically identical to the monolithic
-    program (tests/test_vg.py pins warmup; the runner carries full state).
-    Gradients route through the batch-aware vg (7x; inference/vg.py)."""
-    from celeste_tpu.bench.config5 import build_config5
-    from celeste_tpu.inference import (
-        hmc_warmup_finish, hmc_warmup_init, hmc_warmup_window,
-        nuts_kernel, run_chains_ensemble,
+    Two sampler arms from the IDENTICAL warmed+whitened ensemble
+    (celeste_tpu/bench/config5.py): whitened NUTS (depth 5) and whitened
+    ChEES-HMC (ensemble-adapted jittered trajectories).  Execution is
+    SEGMENTED: the axon tunnel kills device calls somewhere in the
+    60-120 s band (measured, scripts/tpu_session4/5) - numerically
+    identical to the monolithic program (tests pin warmup windows and
+    Halton continuation).  Gradients route through the batch-aware vg
+    (7x; inference/vg.py)."""
+    from celeste_tpu.bench.config5 import (
+        build_config5, config5_warmup_and_whiten, measure_chees_z,
+        measure_nuts_z,
     )
-    from celeste_tpu.inference.diagnostics import ess
 
     logd, logd_dense, vec, _info = build_config5()
     d = int(vec.shape[0])
@@ -179,86 +180,19 @@ def _bench_config5_tiled(n_chains=1024, n_steps=96, n_warmup=150,
     lt = np.asarray(jax.vmap(logd)(probe))
     ld = np.asarray(jax.vmap(logd_dense)(probe))
     parity = float(np.max(np.abs(lt - ld)))
+    print(f"# config5 tiled-dense parity {parity:.3f}", file=sys.stderr)
 
-    x0 = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(1), (n_chains, d))
-    chain_keys = jax.random.split(jax.random.key(3), n_chains)
-    # per-chain warmup keys [n_chains, n_warmup] sliced into windows
-    wkeys = jax.vmap(lambda k: jax.random.split(k, n_warmup))(chain_keys)
-    carry = jax.jit(jax.vmap(lambda x: hmc_warmup_init(x, logd)))(x0)
-    window = jax.jit(lambda ks, c: jax.vmap(
-        lambda k, ci: hmc_warmup_window(k, logd, ci, n_warmup=n_warmup,
-                                        n_leapfrog=8))(ks, c))
-    t = time.time()
-    for off in range(0, n_warmup, warmup_window):
-        carry = window(wkeys[:, off:off + warmup_window], carry)
-        jax.block_until_ready(carry)
-    states, ss, im = jax.jit(jax.vmap(hmc_warmup_finish))(carry)
-    step_size = float(jnp.median(ss))
-    inv_mass = jnp.mean(im, axis=0)
-    print(f"# config5 tiled warmup: step_size={step_size:.4f} "
-          f"({time.time() - t:.0f}s segmented)", file=sys.stderr)
-    # probe run with the diagonal metric: compiles the NUTS segment shape
-    # AND pools an ensemble covariance for the DENSE metric (the overlapping
-    # sources couple parameters across sources; whitening is what lets NUTS
-    # take shallow trees here — see inference/whiten.py + test_whiten.py)
-    kern = nuts_kernel(logd, step_size=step_size, inv_mass=inv_mass, max_depth=6)
-    run = jax.jit(lambda k, s: run_chains_ensemble(k, kern, s,
-                                                   n_steps=run_segment))
-    s_probe, _, _ = run(jax.random.key(0), states)
-    jax.block_until_ready(s_probe)
-
-    from celeste_tpu.inference import (
-        ensemble_covariance, hmc_init, whiten_logdensity,
-    )
-
-    m_hat, cov_hat = ensemble_covariance(s_probe, ridge=1e-4)
-    logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
-    z0 = to_z(states.x)
-    states_z = jax.jit(jax.vmap(lambda z: hmc_init(z, logd_z)))(z0)
-    # short z-space dual-averaging window for the whitened step size
-    zcarry = jax.jit(jax.vmap(
-        lambda z: hmc_warmup_init(z, logd_z, init_step_size=0.3)))(z0)
-    n_zwarm = 30
-    zkeys = jax.vmap(lambda k: jax.random.split(k, n_zwarm))(
-        jax.random.split(jax.random.key(5), n_chains))
-    zcarry = jax.jit(lambda ks, c: jax.vmap(
-        lambda k, ci: hmc_warmup_window(k, logd_z, ci, n_warmup=n_zwarm,
-                                        n_leapfrog=8))(ks, c))(zkeys, zcarry)
-    states_z, ss_z, _ = jax.jit(jax.vmap(hmc_warmup_finish))(zcarry)
-    step_z = float(jnp.median(ss_z))
-    print(f"# config5 dense-metric step_size={step_z:.3f}", file=sys.stderr)
-    # max_depth 5: vmapped NUTS pays every round regardless of per-chain
-    # early exit (batched cond runs both branches), so wall time is
-    # constant in realized depth — and the whitened trees average ~4.5
-    kern_z = nuts_kernel(logd_z, step_size=step_z,
-                         inv_mass=jnp.ones_like(inv_mass), max_depth=5)
-    run_z = jax.jit(lambda k, s: run_chains_ensemble(k, kern_z, s,
-                                                     n_steps=run_segment))
-    out = run_z(jax.random.key(0), states_z)   # compile (untimed)
-    jax.block_until_ready(out)
-    t = time.time()
-    seg_samples, infos = [], []
-    cur = states_z
-    for i in range(n_steps // run_segment):
-        samples, cur, info = run_z(jax.random.fold_in(jax.random.key(2), i), cur)
-        seg_samples.append(samples)
-        infos.append(info)
-    jax.block_until_ready(cur)
-    dt = time.time() - t
-    samples = to_x(jnp.concatenate(seg_samples, axis=1))  # [chains, steps, D]
-    kept = samples[:, n_steps // 4:]
-    e = np.asarray(ess(kept))
-    rate_min = float(e.min() / dt)
-    div = float(np.mean([float(jnp.mean(i.diverged.astype(jnp.float32)))
-                         for i in infos]))
-    depth = float(np.mean([float(jnp.mean(i.tree_depth.astype(jnp.float32)))
-                           for i in infos]))
-    print(f"# config5 tiled NUTS (12 src mixed, {n_chains} chains, dense "
-          f"metric): {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
-          f"median {float(np.median(e) / dt):.1f}, divergence {div:.4f}, "
-          f"mean depth {depth:.2f}, tiled-dense parity {parity:.3f}",
-          file=sys.stderr)
-    return rate_min, div, parity
+    prep = config5_warmup_and_whiten(logd, vec, n_chains=n_chains,
+                                     n_warmup=n_warmup,
+                                     warmup_window=warmup_window)
+    rate_min, div, _depth = measure_nuts_z(prep, n_steps=n_steps,
+                                           run_segment=run_segment)
+    try:
+        rate_chees, _acc, _nl = measure_chees_z(prep)
+    except Exception as e:  # noqa: BLE001
+        print(f"# config5 chees arm failed: {str(e)[:200]}", file=sys.stderr)
+        rate_chees = None
+    return rate_min, div, parity, rate_chees
 
 
 def _bench_pipeline_walltime():
@@ -309,8 +243,8 @@ def main():
     pipeline_s = _stage("pipeline", _bench_pipeline_walltime, None)
     # config5 runs LAST: the biggest single device program; if it wedges the
     # chip (DESIGN.md §3) everything above is already recorded
-    ess_tiled, div_tiled, parity_tiled = _stage(
-        "config5_tiled", _bench_config5_tiled, (None, None, None))
+    ess_tiled, div_tiled, parity_tiled, ess_chees = _stage(
+        "config5_tiled", _bench_config5_tiled, (None, None, None, None))
     oracle_crowded = 6.0  # min ESS/sec, oracle slice, 6-star field (BASELINE.md)
     print(json.dumps({
         "metric": "single-stamp likelihood evals/sec/chip",
@@ -323,6 +257,7 @@ def main():
         "ess_vs_oracle": None if ess_rate is None else ess_rate / oracle_crowded,
         "tiled_field_evals_per_sec": tiled_rate,
         "ess_per_sec_tiled": ess_tiled,
+        "ess_per_sec_tiled_chees": ess_chees,
         "tiled_divergence_frac": div_tiled,
         "tiled_dense_parity": parity_tiled,
         "pipeline_wall_time_s": pipeline_s,

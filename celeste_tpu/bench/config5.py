@@ -76,3 +76,187 @@ def build_config5(n_buckets: int = 2, impl: str = "jnp"):
     info = {"scene": cs, "stamp": stamp, "positions_px": pos_px,
             "tiled_data": data, "wcs": sd.wcs, "sources": srcs}
     return logd, logd_dense, vec, info
+
+
+def config5_warmup_and_whiten(logd, vec, n_chains=1024, n_warmup=150,
+                              warmup_window=50, n_zwarm=30, probe_steps=16,
+                              verbose=True):
+    """The shared config-5 preparation flow: segmented diagonal HMC warmup
+    -> short NUTS probe -> pooled ensemble covariance -> whitened space ->
+    short z-space dual-averaging.  Every sampler benchmarked on config 5
+    starts from the output of THIS function so arms are comparable (and
+    bench.py measures the identical program as the shootout scripts).
+
+    Segmentation rationale: the axon tunnel kills device calls in the
+    60-120 s band (DESIGN.md §3), so warmup runs as bounded
+    ``hmc_warmup_window`` slices — numerically identical to the
+    monolithic scan (tests/test_vg.py pins this).
+
+    Returns a dict with the whitened logdensity, transforms, z-space
+    warm chain states, and the adapted step sizes.
+    """
+    import sys
+    import time
+
+    from celeste_tpu.inference import (
+        ensemble_covariance, hmc_init, hmc_warmup_finish, hmc_warmup_init,
+        hmc_warmup_window, nuts_kernel, run_chains_ensemble,
+        whiten_logdensity,
+    )
+
+    d = int(vec.shape[0])
+    x0 = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(1),
+                                                 (n_chains, d))
+    chain_keys = jax.random.split(jax.random.key(3), n_chains)
+    wkeys = jax.vmap(lambda k: jax.random.split(k, n_warmup))(chain_keys)
+    carry = jax.jit(jax.vmap(lambda x: hmc_warmup_init(x, logd)))(x0)
+    window = jax.jit(lambda ks, c: jax.vmap(
+        lambda k, ci: hmc_warmup_window(k, logd, ci, n_warmup=n_warmup,
+                                        n_leapfrog=8))(ks, c))
+    t = time.time()
+    for off in range(0, n_warmup, warmup_window):
+        carry = window(wkeys[:, off:off + warmup_window], carry)
+        jax.block_until_ready(carry)
+    states, ss, im = jax.jit(jax.vmap(hmc_warmup_finish))(carry)
+    step_size = float(jnp.median(ss))
+    inv_mass = jnp.mean(im, axis=0)
+    if verbose:
+        print(f"# config5 tiled warmup: step_size={step_size:.4f} "
+              f"({time.time() - t:.0f}s segmented)", file=sys.stderr)
+
+    # probe run with the diagonal metric pools an ensemble covariance for
+    # the DENSE metric (overlapping sources couple parameters across
+    # sources; whitening is what lets the samplers take short paths here)
+    kern = nuts_kernel(logd, step_size=step_size, inv_mass=inv_mass,
+                       max_depth=6)
+    run = jax.jit(lambda k, s: run_chains_ensemble(k, kern, s,
+                                                   n_steps=probe_steps))
+    s_probe, _, _ = run(jax.random.key(0), states)
+    jax.block_until_ready(s_probe)
+    m_hat, cov_hat = ensemble_covariance(s_probe, ridge=1e-4)
+    logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
+    z0 = to_z(states.x)
+    zcarry = jax.jit(jax.vmap(
+        lambda z: hmc_warmup_init(z, logd_z, init_step_size=0.3)))(z0)
+    zkeys = jax.vmap(lambda k: jax.random.split(k, n_zwarm))(
+        jax.random.split(jax.random.key(5), n_chains))
+    zcarry = jax.jit(lambda ks, c: jax.vmap(
+        lambda k, ci: hmc_warmup_window(k, logd_z, ci, n_warmup=n_zwarm,
+                                        n_leapfrog=8))(ks, c))(zkeys, zcarry)
+    states_z, ss_z, _ = jax.jit(jax.vmap(hmc_warmup_finish))(zcarry)
+    step_z = float(jnp.median(ss_z))
+    if verbose:
+        print(f"# config5 dense-metric step_size={step_z:.3f}",
+              file=sys.stderr)
+    return {
+        "d": d, "logd_z": logd_z, "to_x": to_x, "to_z": to_z,
+        "states_z": states_z, "step_z": step_z,
+        "states_x": states, "step_size": step_size, "inv_mass": inv_mass,
+    }
+
+
+def measure_nuts_z(prep, n_steps=96, run_segment=16, max_depth=5,
+                   verbose=True):
+    """Whitened-space NUTS arm on the prepared config-5 ensemble; returns
+    (min ESS/sec, divergence fraction, mean tree depth).  max_depth 5:
+    vmapped NUTS pays every round regardless of per-chain early exit, and
+    the whitened trees average ~4."""
+    import sys
+    import time
+
+    from celeste_tpu.inference import nuts_kernel, run_chains_ensemble
+    from celeste_tpu.inference.diagnostics import ess
+
+    kern_z = nuts_kernel(prep["logd_z"], step_size=prep["step_z"],
+                         inv_mass=jnp.ones((prep["d"],), jnp.float32),
+                         max_depth=max_depth)
+    run_z = jax.jit(lambda k, s: run_chains_ensemble(k, kern_z, s,
+                                                     n_steps=run_segment))
+    out = run_z(jax.random.key(0), prep["states_z"])   # compile (untimed)
+    jax.block_until_ready(out)
+    t = time.time()
+    seg_samples, infos = [], []
+    cur = prep["states_z"]
+    for i in range(n_steps // run_segment):
+        samples, cur, info = run_z(jax.random.fold_in(jax.random.key(2), i),
+                                   cur)
+        seg_samples.append(samples)
+        infos.append(info)
+    jax.block_until_ready(cur)
+    dt = time.time() - t
+    samples = prep["to_x"](jnp.concatenate(seg_samples, axis=1))
+    kept = samples[:, n_steps // 4:]
+    e = np.asarray(ess(kept))
+    rate_min = float(e.min() / dt)
+    div = float(np.mean([float(jnp.mean(i.diverged.astype(jnp.float32)))
+                         for i in infos]))
+    depth = float(np.mean([float(jnp.mean(i.tree_depth.astype(jnp.float32)))
+                           for i in infos]))
+    if verbose:
+        print(f"# config5 NUTS(z): {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
+              f"median {float(np.median(e) / dt):.1f}, divergence {div:.4f}, "
+              f"mean depth {depth:.2f}", file=sys.stderr)
+    return rate_min, div, depth
+
+
+def measure_chees_z(prep, n_steps=384, run_segment=48, warmup_iters=100,
+                    warmup_window=20, max_leapfrog=64, verbose=True):
+    """Whitened-space ChEES-HMC arm: segmented ensemble warmup adapts
+    (eps, T), then frozen-parameter jittered-HMC segments.  Returns
+    (min ESS/sec incl. its own warmup amortized out, accept rate, mean
+    leapfrogs/step).  n_steps defaults higher than NUTS's because ChEES
+    steps are individually cheaper."""
+    import sys
+    import time
+
+    from celeste_tpu.inference import (
+        chees_warmup_finish, chees_warmup_init, chees_warmup_window,
+        run_chees_ensemble,
+    )
+    from celeste_tpu.inference.diagnostics import ess
+
+    logd_z = prep["logd_z"]
+    z0 = prep["states_z"].x
+    carry = jax.jit(lambda z: chees_warmup_init(
+        z, logd_z, init_step_size=prep["step_z"]))(z0)
+    wkeys = jax.random.split(jax.random.key(11), warmup_iters)
+    window = jax.jit(lambda ks, c: chees_warmup_window(
+        ks, logd_z, c, n_iters=warmup_window,
+        init_step_size=prep["step_z"], max_leapfrog=max_leapfrog))
+    t = time.time()
+    for off in range(0, warmup_iters, warmup_window):
+        carry = window(wkeys[off:off + warmup_window], carry)
+        jax.block_until_ready(carry)
+    st_c, eps_c, traj_c = jax.jit(chees_warmup_finish)(carry)
+    eps_c, traj_c = float(eps_c), float(traj_c)
+    if verbose:
+        print(f"# config5 ChEES warmup: eps={eps_c:.3f} traj={traj_c:.3f} "
+              f"(~{traj_c / eps_c:.0f} leaps; {time.time() - t:.0f}s)",
+              file=sys.stderr)
+    run = jax.jit(lambda k, s, i0: run_chees_ensemble(
+        k, logd_z, s, n_steps=run_segment, step_size=eps_c,
+        trajectory_length=traj_c, max_leapfrog=max_leapfrog, start_iter=i0))
+    out = run(jax.random.key(0), st_c, 0)   # compile (untimed)
+    jax.block_until_ready(out)
+    t = time.time()
+    seg_samples, infos = [], []
+    cur = st_c
+    for i in range(n_steps // run_segment):
+        samples, cur, info = run(jax.random.fold_in(jax.random.key(12), i),
+                                 cur, i * run_segment)
+        seg_samples.append(samples)
+        infos.append(info)
+    jax.block_until_ready(cur)
+    dt = time.time() - t
+    samples = prep["to_x"](jnp.concatenate(seg_samples, axis=1))
+    kept = samples[:, n_steps // 4:]
+    e = np.asarray(ess(kept))
+    rate_min = float(e.min() / dt)
+    acc = float(np.mean([float(jnp.mean(i.accept_rate)) for i in infos]))
+    nleap = float(np.mean([float(jnp.mean(i.n_leapfrog.astype(jnp.float32)))
+                           for i in infos]))
+    if verbose:
+        print(f"# config5 ChEES(z): {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
+              f"median {float(np.median(e) / dt):.1f}, accept {acc:.3f}, "
+              f"mean leaps {nleap:.1f}", file=sys.stderr)
+    return rate_min, acc, nleap
