@@ -165,7 +165,7 @@ def measure_nuts_z(prep, n_steps=96, run_segment=16, max_depth=5,
     import time
 
     from celeste_tpu.inference import nuts_kernel, run_chains_ensemble
-    from celeste_tpu.inference.diagnostics import ess
+    from celeste_tpu.inference.diagnostics import ess, split_rhat
 
     kern_z = nuts_kernel(prep["logd_z"], step_size=prep["step_z"],
                          inv_mass=jnp.ones((prep["d"],), jnp.float32),
@@ -193,9 +193,10 @@ def measure_nuts_z(prep, n_steps=96, run_segment=16, max_depth=5,
     depth = float(np.mean([float(jnp.mean(i.tree_depth.astype(jnp.float32)))
                            for i in infos]))
     if verbose:
+        rh = float(np.max(np.asarray(split_rhat(kept))))
         print(f"# config5 NUTS(z): {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
               f"median {float(np.median(e) / dt):.1f}, divergence {div:.4f}, "
-              f"mean depth {depth:.2f}", file=sys.stderr)
+              f"mean depth {depth:.2f}, max rhat {rh:.4f}", file=sys.stderr)
     return rate_min, div, depth
 
 
@@ -213,7 +214,7 @@ def measure_chees_z(prep, n_steps=384, run_segment=48, warmup_iters=100,
         chees_warmup_finish, chees_warmup_init, chees_warmup_window,
         run_chees_ensemble,
     )
-    from celeste_tpu.inference.diagnostics import ess
+    from celeste_tpu.inference.diagnostics import ess, split_rhat
 
     logd_z = prep["logd_z"]
     z0 = prep["states_z"].x
@@ -256,7 +257,8 @@ def measure_chees_z(prep, n_steps=384, run_segment=48, warmup_iters=100,
     nleap = float(np.mean([float(jnp.mean(i.n_leapfrog.astype(jnp.float32)))
                            for i in infos]))
     if verbose:
+        rh = float(np.max(np.asarray(split_rhat(kept))))
         print(f"# config5 ChEES(z): {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
               f"median {float(np.median(e) / dt):.1f}, accept {acc:.3f}, "
-              f"mean leaps {nleap:.1f}", file=sys.stderr)
+              f"mean leaps {nleap:.1f}, max rhat {rh:.4f}", file=sys.stderr)
     return rate_min, acc, nleap
