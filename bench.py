@@ -105,7 +105,45 @@ def _bench_ess_per_sec():
     print(f"# crowded NUTS: {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
           f"median {rate_med:.1f}, divergence frac "
           f"{float(jnp.mean(info.diverged.astype(jnp.float32))):.4f}", file=sys.stderr)
-    return rate_min
+
+    # ChEES arm from the same warmed ensemble: pool the NUTS samples into a
+    # dense metric, adapt (eps, T) on the whitened target, run 4x the steps
+    # (each is ~2 leapfrogs, not 2^depth)
+    try:
+        from celeste_tpu.inference import (
+            chees_warmup, ensemble_covariance, run_chees_ensemble,
+            whiten_logdensity,
+        )
+        from celeste_tpu.inference.diagnostics import split_rhat
+
+        m_hat, cov_hat = ensemble_covariance(kept[:, ::4], ridge=1e-4)
+        logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
+        st_c, eps_c, traj_c = jax.jit(lambda k, z: chees_warmup(
+            k, logd_z, z, n_warmup=100, init_step_size=0.3,
+            max_leapfrog=64))(jax.random.key(7), to_z(states.x))
+        eps_c, traj_c = float(eps_c), float(traj_c)
+        n_steps_c = 4 * n_steps
+        run_c = jax.jit(lambda k, s: run_chees_ensemble(
+            k, logd_z, s, n_steps=n_steps_c, step_size=eps_c,
+            trajectory_length=traj_c, max_leapfrog=64))
+        out = run_c(jax.random.key(8), st_c)
+        jax.block_until_ready(out)
+        t = time.time()
+        samples_c, _, info_c = run_c(jax.random.key(9), st_c)
+        jax.block_until_ready(samples_c)
+        dt_c = time.time() - t
+        kept_c = to_x(samples_c[:, n_steps_c // 4:])
+        ec = np.asarray(ess(kept_c))
+        rate_min_c = float(ec.min() / dt_c)
+        rh = float(np.max(np.asarray(split_rhat(kept_c))))
+        print(f"# crowded ChEES: {dt_c:.2f}s, min ESS/sec {rate_min_c:.1f}, "
+              f"median {float(np.median(ec) / dt_c):.1f}, accept "
+              f"{float(jnp.mean(info_c.accept_rate)):.3f}, eps {eps_c:.3f}, "
+              f"traj {traj_c:.3f}, max rhat {rh:.4f}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# crowded chees arm failed: {str(exc)[:200]}", file=sys.stderr)
+        rate_min_c = None
+    return rate_min, rate_min_c
 
 
 def _bench_tiled_field():
@@ -238,7 +276,8 @@ def _stage(name, fn, default):
 def main():
     rates = _stage("evals", _bench_evals_per_sec, {"pallas": 0.0, "jnp": 0.0})
     evals_rate = max(rates.values())
-    ess_rate = _stage("crowded_ess", _bench_ess_per_sec, None)
+    ess_rate, ess_rate_chees = _stage("crowded_ess", _bench_ess_per_sec,
+                                      (None, None))
     tiled_rate = _stage("tiled_field", _bench_tiled_field, None)
     pipeline_s = _stage("pipeline", _bench_pipeline_walltime, None)
     # config5 runs LAST: the biggest single device program; if it wedges the
@@ -254,7 +293,10 @@ def main():
         "evals_per_sec_pallas": rates["pallas"],
         "evals_per_sec_jnp": rates["jnp"],
         "ess_per_sec_crowded": ess_rate,
+        "ess_per_sec_crowded_chees": ess_rate_chees,
         "ess_vs_oracle": None if ess_rate is None else ess_rate / oracle_crowded,
+        "ess_vs_oracle_chees": None if ess_rate_chees is None
+        else ess_rate_chees / oracle_crowded,
         "tiled_field_evals_per_sec": tiled_rate,
         "ess_per_sec_tiled": ess_tiled,
         "ess_per_sec_tiled_chees": ess_chees,
