@@ -17,6 +17,7 @@ from celeste_tpu.parallel.mesh import chain_mesh, make_mesh  # noqa: F401
 from celeste_tpu.parallel.ensemble import (  # noqa: F401
     shard_chains,
     run_sharded_ensemble,
+    run_sharded_chees,
     ensemble_diagnostics,
 )
 from celeste_tpu.parallel.crowded import (  # noqa: F401

@@ -54,6 +54,40 @@ def run_sharded_ensemble(key, kernel, init_states, n_steps: int, mesh: Mesh,
     return run(keys, init_states)
 
 
+def run_sharded_chees(key, logdensity_fn, xs0, mesh: Mesh,
+                      n_warmup: int = 100, n_steps: int = 400, **chees_kw):
+    """ChEES-HMC with the chain axis sharded over the mesh.
+
+    Unlike the per-chain kernels above (which keep ICI idle in the hot
+    loop), ChEES's adaptation statistics are POOLED across the ensemble —
+    the cross-chain means in the ChEES gradient and the pooled accept rate
+    become ICI all-reduces under GSPMD.  That is the intended multi-chip
+    shape: per-chain leapfrogs stay chip-local, one scalar (eps, T) pair
+    is co-adapted from the global ensemble each step, exactly the
+    algorithm's estimator at its best (more chips = more chains = lower
+    adaptation variance).  No code differs from the single-chip path;
+    the sharding is annotation (SURVEY.md §2.2/§5.8).
+
+    Returns (samples [B, n_steps, D], final state, eps, trajectory).
+    """
+    from celeste_tpu.inference import chees_warmup, run_chees_ensemble
+
+    n_chains = xs0.shape[0]
+    assert n_chains % mesh.devices.size == 0
+    xs0 = jax.device_put(xs0, NamedSharding(mesh, P("chains")))
+    k_warm, k_run = jax.random.split(key)
+    state, eps, traj = jax.jit(
+        lambda k, x: chees_warmup(k, logdensity_fn, x, n_warmup=n_warmup,
+                                  **chees_kw))(k_warm, xs0)
+    samples, state, _ = jax.jit(
+        lambda k, s, e, t: run_chees_ensemble(
+            k, logdensity_fn, s, n_steps=n_steps, step_size=e,
+            trajectory_length=t,
+            max_leapfrog=chees_kw.get("max_leapfrog", 256))
+    )(k_run, state, eps, traj)
+    return samples, state, eps, traj
+
+
 def ensemble_diagnostics(samples, mesh: Mesh | None = None):
     """Global convergence diagnostics over a (possibly sharded) sample
     array [n_chains, n_steps, D].  The reductions are ordinary jnp; when

@@ -109,6 +109,38 @@ def test_chees_via_experiment_runner():
     assert float(np.min(r["ess"])) > 50.0
 
 
+def test_chees_sharded_matches_single_chip():
+    """ChEES with the chain axis sharded over the 8-device mesh: pooled
+    adaptation statistics become ICI all-reduces under GSPMD; the adapted
+    (eps, T) and the sampled moments must agree with the unsharded run.
+
+    Not bitwise: cross-device mean reductions reorder fp32 sums, and tiny
+    eps differences compound through the leapfrog — statistical agreement
+    is the correct contract here (the per-chain kernels' bitwise gate
+    lives in test_parallel.py, where no pooled statistics exist)."""
+    from celeste_tpu.parallel import run_sharded_chees
+    from celeste_tpu.parallel.mesh import chain_mesh
+
+    n_chains = 64
+    x0 = jnp.asarray(MEAN, jnp.float32) + jax.random.normal(
+        jax.random.key(8), (n_chains, 3))
+    mesh = chain_mesh()
+    assert mesh.devices.size == 8
+    samples_s, _, eps_s, traj_s = run_sharded_chees(
+        jax.random.key(9), logdensity, x0, mesh,
+        n_warmup=200, n_steps=400)
+
+    k_warm = jax.random.split(jax.random.key(9))[0]  # matches the helper's split
+    state, eps_p, traj_p = chees_warmup(k_warm, logdensity, x0, n_warmup=200)
+    # adapted scalars agree to a few percent (same target, same keys,
+    # different reduction order)
+    np.testing.assert_allclose(float(eps_s), float(eps_p), rtol=0.1)
+    np.testing.assert_allclose(float(traj_s), float(traj_p), rtol=0.15)
+    kept = np.asarray(samples_s[:, 100:]).reshape(-1, 3)
+    np.testing.assert_allclose(kept.mean(0), MEAN, atol=0.12)
+    np.testing.assert_allclose(np.cov(kept.T), COV, atol=0.3)
+
+
 def test_chees_init_state_shapes():
     xs = jax.random.normal(jax.random.key(5), (8, 3))
     st = chees_init(xs, logdensity)
