@@ -38,13 +38,16 @@ def _beta_logpdf(x, a, b):
 
 @dataclass(frozen=True)
 class FluxPrior:
-    """Reference-band log-normal + Gaussian color prior."""
+    """Reference-band log-normal + color prior (Gaussian by default, or an
+    empirical ``ColorGMM`` — the reference's catalog-fit mixture over the
+    stellar locus / galaxy bimodality; model/color_prior.py)."""
 
     log_ref_mean: float = 3.0       # log nanomaggies (~20 nmgy)
     log_ref_std: float = 3.0        # broad
     color_mean: tuple = (0.0, 0.0, 0.0, 0.0)
     color_std: tuple = (1.5, 1.5, 1.5, 1.5)
     ref_band: int = REF_BAND
+    color_gmm: Optional[object] = None   # ColorGMM; overrides the Gaussian
 
     def logpdf(self, log_flux):
         """``log_flux`` [B] natural-log fluxes; returns the genuine
@@ -67,9 +70,12 @@ class FluxPrior:
                             self.log_ref_mean, self.log_ref_std)
         if b > 1:
             colors = log_flux[..., :-1] - log_flux[..., 1:]
-            mean = jnp.asarray(self.color_mean[: b - 1], jnp.float32)
-            std = jnp.asarray(self.color_std[: b - 1], jnp.float32)
-            lp = lp + jnp.sum(_normal_logpdf(colors, mean, std), axis=-1)
+            if self.color_gmm is not None:
+                lp = lp + self.color_gmm.logpdf(colors)
+            else:
+                mean = jnp.asarray(self.color_mean[: b - 1], jnp.float32)
+                std = jnp.asarray(self.color_std[: b - 1], jnp.float32)
+                lp = lp + jnp.sum(_normal_logpdf(colors, mean, std), axis=-1)
         # change of measure log-flux -> flux (makes this a real flux density)
         return lp - jnp.sum(log_flux, axis=-1)
 
