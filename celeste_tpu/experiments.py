@@ -47,6 +47,7 @@ class ExperimentConfig:
     max_depth: int = 6
     n_leapfrog: int = 16
     metric: str = "diag"           # diag | dense (pooled ensemble whitening)
+    color_prior: str = "gaussian"  # gaussian | gmm (empirical stellar-locus GMM)
     tiled: bool = False            # crowded_field: block-sparse tiled loglik
     n_galaxies: int = 0            # crowded_field: mixed star/galaxy scenes
     # quasar
@@ -116,8 +117,14 @@ def _star_problem(cfg: ExperimentConfig):
     src = star_source(u=(30.00005, 10.00008), flux_r=cfg.flux_r)
     scene = make_synthetic_stamp([src], shape=cfg.shape, bands=cfg.bands, seed=cfg.seed)
     nb = len(cfg.bands)
+    color_gmm = None
+    if cfg.color_prior == "gmm":
+        from celeste_tpu.model.color_prior import default_star_gmm
+
+        color_gmm = default_star_gmm()
     priors = SourcePriors(flux=FluxPrior(log_ref_mean=float(np.log(cfg.flux_r)),
-                                         log_ref_std=2.0))
+                                         log_ref_std=2.0,
+                                         color_gmm=color_gmm))
     if nb == 1:
         logd = make_star_logdensity(scene.stamps, bands=[0], priors=priors, n_bands=1)
         flux = [src["flux"][cfg.bands[0]]]

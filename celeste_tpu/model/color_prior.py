@@ -132,27 +132,33 @@ def fit_color_gmm(colors, n_comp: int = 4, n_iter: int = 200, seed: int = 0,
 
 
 def synthetic_star_colors(n: int = 4000, seed: int = 1):
-    """Synthetic ugriz star colors along a curved stellar-locus-like arc:
-    a 1-D temperature parameter mapped through nonlinear color curves plus
-    scatter (shape, not photometric truth — see provenance note)."""
+    """Synthetic star colors along a curved stellar-locus-like arc, in the
+    framework's convention c_b = ln(f_b / f_{b+1}) (NOT magnitudes; more
+    negative = bluer band relatively fainter).  A 1-D temperature-like
+    parameter maps through nonlinear curves + scatter; centered so the
+    synthetic-scene default SED (data/synthetic.star_source: c ≈
+    [-0.85, -0.36, -0.14, -0.04]) lies mid-locus.  Shape, not photometric
+    truth — see provenance note."""
     rng = np.random.default_rng(seed)
-    t = rng.beta(2.0, 2.0, n)                    # temperature-ish
-    ug = 0.8 + 2.2 * t + 0.35 * t * t
-    gr = -0.1 + 1.5 * t - 0.6 * t * t
-    ri = -0.05 + 0.9 * t - 0.45 * t * t
-    iz = -0.02 + 0.5 * t - 0.25 * t * t
+    t = rng.beta(2.0, 2.0, n)                    # temperature-ish, mid 0.5
+    ug = -1.60 + 1.50 * t
+    gr = -0.70 + 0.70 * t - 0.20 * t * t
+    ri = -0.35 + 0.45 * t - 0.10 * t * t
+    iz = -0.15 + 0.25 * t - 0.05 * t * t
     cols = np.stack([ug, gr, ri, iz], 1)
-    return cols + rng.normal(0, [0.12, 0.06, 0.05, 0.06], (n, 4))
+    return cols + rng.normal(0, [0.11, 0.06, 0.05, 0.06], (n, 4))
 
 
 def synthetic_galaxy_colors(n: int = 4000, seed: int = 2):
-    """Red-sequence/blue-cloud bimodality in g-r with correlated scatter."""
+    """Red-sequence/blue-cloud bimodality in the g-r ln-flux-ratio with
+    correlated scatter; centered on the synthetic-scene default galaxy SED
+    (c ≈ [-0.88, -0.51, -0.26, -0.14])."""
     rng = np.random.default_rng(seed)
     red = rng.random(n) < 0.45
-    gr = np.where(red, rng.normal(0.85, 0.08, n), rng.normal(0.45, 0.15, n))
-    ug = 1.1 * gr + rng.normal(0.5, 0.2, n)
-    ri = 0.45 * gr + rng.normal(0.0, 0.07, n)
-    iz = 0.3 * ri + rng.normal(0.0, 0.06, n)
+    gr = np.where(red, rng.normal(-0.70, 0.07, n), rng.normal(-0.40, 0.13, n))
+    ug = 1.1 * (gr + 0.5) - 0.85 + rng.normal(0.0, 0.18, n)
+    ri = 0.45 * (gr + 0.5) - 0.25 + rng.normal(0.0, 0.07, n)
+    iz = 0.55 * (ri + 0.25) - 0.14 + rng.normal(0.0, 0.06, n)
     return np.stack([ug, gr, ri, iz], 1)
 
 

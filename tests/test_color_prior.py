@@ -85,6 +85,36 @@ def test_flux_prior_with_gmm_jits_and_differentiates():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_gmm_prior_covers_scene_defaults():
+    """The shipped default GMMs must place the synthetic-scene default SEDs
+    in their bulk (a prior 40 nats off the data, as a magnitude-convention
+    mixup once produced, wrecks warmup geometry)."""
+    from celeste_tpu.data.synthetic import galaxy_source, star_source
+    from celeste_tpu.model.color_prior import default_galaxy_gmm
+
+    s, g = star_source(flux_r=30.0), galaxy_source()
+    cs = np.log(np.asarray(s["flux"][:-1]) / np.asarray(s["flux"][1:]))
+    cg = np.log(np.asarray(g["flux"][:-1]) / np.asarray(g["flux"][1:]))
+    lp_s = float(default_star_gmm().logpdf(jnp.asarray(cs, jnp.float32)))
+    lp_g = float(default_galaxy_gmm().logpdf(jnp.asarray(cg, jnp.float32)))
+    assert lp_s > -5.0, lp_s
+    assert lp_g > -5.0, lp_g
+
+
+def test_gmm_prior_through_runner_chees():
+    """star_ugriz with color_prior=gmm flows through the runner and mixes
+    under the ChEES + dense-metric combination."""
+    from celeste_tpu.experiments import ExperimentConfig, run_experiment
+
+    cfg = ExperimentConfig(name="star_ugriz", sampler="chees",
+                           metric="dense", n_chains=8, n_steps=200,
+                           n_warmup=150, bands=(0, 1, 2, 3, 4),
+                           color_prior="gmm", shape=(19, 19))
+    r = run_experiment(cfg)
+    assert float(np.max(r["rhat"])) < 1.1
+    assert float(np.min(r["ess"])) > 100.0
+
+
 def test_gmm_prior_prefers_locus_colors():
     """Colors on the synthetic stellar locus score higher than colors far
     off it (the point of the empirical prior vs the broad Gaussian)."""
