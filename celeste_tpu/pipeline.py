@@ -67,6 +67,9 @@ class PipelineConfig:
     max_depth: int = 6
     map_steps: int = 300
     seed: int = 0
+    # joint-sampling kernel: chees (whitened ensemble-adaptive jittered
+    # HMC; 13-25x NUTS's min-ESS/sec measured on v5e) or nuts
+    sampler: str = "chees"
 
 
 @dataclass
@@ -345,12 +348,39 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
     )(jax.random.split(k_w, cfg.n_chains), x0b)
     kern = nuts_kernel(logd, step_size=float(jnp.median(ss)),
                        inv_mass=jnp.mean(im, axis=0), max_depth=cfg.max_depth)
-    samples, _, info = run_chains_ensemble(k_s, kern, states, n_steps=cfg.n_steps)
+    if cfg.sampler == "chees":
+        # probe with the diagonal NUTS kernel to pool a dense metric, then
+        # sample the whitened target with ensemble-adaptive jittered HMC
+        # (the bench-proven config-5 recipe; DESIGN.md §5)
+        from celeste_tpu.inference import (
+            chees_warmup, ensemble_covariance, run_chees_ensemble,
+            whiten_logdensity,
+        )
+
+        s_probe, _, _ = run_chains_ensemble(jax.random.fold_in(k_s, 1), kern,
+                                            states, n_steps=16)
+        m_hat, cov_hat = ensemble_covariance(s_probe, ridge=1e-4)
+        logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
+        st_c, eps_c, traj_c = chees_warmup(
+            jax.random.fold_in(k_s, 2), logd_z, to_z(states.x),
+            n_warmup=100, init_step_size=0.3, max_leapfrog=64)
+        samples_z, _, info_c = run_chees_ensemble(
+            jax.random.fold_in(k_s, 3), logd_z, st_c, n_steps=cfg.n_steps,
+            step_size=float(eps_c), trajectory_length=float(traj_c),
+            max_leapfrog=64)
+        samples = to_x(samples_z)
+        div = 0.0
+        accept = float(jnp.mean(info_c.accept_rate))
+    else:
+        samples, _, info = run_chains_ensemble(k_s, kern, states,
+                                               n_steps=cfg.n_steps)
+        div = float(jnp.mean(info.diverged.astype(jnp.float32)))
+        accept = None
     kept = samples[:, cfg.n_steps // 4:]
     summ = summarize(kept)
     logger.log("sample", rhat_max=float(jnp.max(summ["rhat"])),
                ess_min=float(jnp.min(summ["ess"])),
-               divergence_frac=float(jnp.mean(info.diverged.astype(jnp.float32))))
+               divergence_frac=div, accept_rate=accept)
 
     # -- 4. catalog --------------------------------------------------------
     flat = np.asarray(kept).reshape(-1, d_total)
