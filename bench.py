@@ -233,6 +233,54 @@ def _bench_config5_tiled(n_chains=1024, n_steps=96, n_warmup=150,
     return rate_min, div, parity, rate_chees
 
 
+def _bench_photoz_batch(n_targets=32):
+    """BASELINE config 4 throughput: N independent quasar photo-z tempered
+    posteriors batched on one chip.  Returns (targets/sec, z-recovery
+    fraction |z_med - z_true| < 0.25)."""
+    from celeste_tpu.quasar.basis import QuasarBasis
+    from celeste_tpu.quasar.filters import sdss_like_filterbank
+    from celeste_tpu.quasar.photo_z import PhotoZConfig, run_photo_z_batch
+    from celeste_tpu.quasar.photometry import project_to_bands
+
+    basis = QuasarBasis.default()
+    filters = sdss_like_filterbank(n_pts=64)
+    rng = np.random.default_rng(17)
+    z_true = rng.uniform(0.5, 4.0, n_targets)
+    flux, err = [], []
+    for i in range(n_targets):
+        w = rng.dirichlet(np.ones(basis.n_basis))
+        f = np.asarray(project_to_bands(basis, filters,
+                                        jnp.asarray(w, jnp.float32),
+                                        2.0, float(z_true[i])))
+        e = 0.03 * np.abs(f) + 1e-5
+        flux.append(f + rng.normal(size=f.shape) * e)
+        err.append(e)
+    flux = np.stack(flux).astype(np.float32)
+    err = np.stack(err).astype(np.float32)
+
+    # sizes fit the axon device-call budget (measured: 64 targets x 400
+    # steps ~45 s cached — the kill edge; 32 stays comfortably inside)
+    cfg = PhotoZConfig(n_temps=6, n_steps=400, n_warmup=150, n_systems=1,
+                       inner="hmc_adaptive")
+    # NO outer jit: the fused warmup+sampling program (nested scans +
+    # while_loops under a double vmap) exceeds the axon tunnel's compile
+    # budget; uncoalesced, each lax.scan compiles as its own program
+    run = lambda k: run_photo_z_batch(k, basis, filters, flux, err, cfg)
+    out = run(jax.random.key(4))           # compile (untimed)
+    jax.block_until_ready(out["z"])
+    t = time.time()
+    out = run(jax.random.key(5))
+    jax.block_until_ready(out["z"])
+    dt = time.time() - t
+    z_med = np.median(np.asarray(out["z"]).reshape(n_targets, -1), axis=1)
+    recov = float(np.mean(np.abs(z_med - z_true) < 0.25))
+    rate = n_targets / dt
+    print(f"# photo-z batch ({n_targets} targets, 6-temp ladder, "
+          f"hmc_adaptive): {dt:.2f}s, {rate:.1f} targets/s, z-recovery "
+          f"{recov:.2f}", file=sys.stderr)
+    return rate, recov
+
+
 def _bench_pipeline_walltime():
     """End-to-end catalog pipeline wall time (VERDICT r1 #5: the classify
     stage is now ONE vmapped device call per sweep; this records what the
@@ -279,6 +327,8 @@ def main():
     ess_rate, ess_rate_chees = _stage("crowded_ess", _bench_ess_per_sec,
                                       (None, None))
     tiled_rate = _stage("tiled_field", _bench_tiled_field, None)
+    photoz_rate, photoz_recov = _stage("photoz_batch", _bench_photoz_batch,
+                                       (None, None))
     pipeline_s = _stage("pipeline", _bench_pipeline_walltime, None)
     # config5 runs LAST: the biggest single device program; if it wedges the
     # chip (DESIGN.md §3) everything above is already recorded
@@ -298,6 +348,8 @@ def main():
         "ess_vs_oracle_chees": None if ess_rate_chees is None
         else ess_rate_chees / oracle_crowded,
         "tiled_field_evals_per_sec": tiled_rate,
+        "photoz_targets_per_sec": photoz_rate,
+        "photoz_z_recovery_frac": photoz_recov,
         "ess_per_sec_tiled": ess_tiled,
         "ess_per_sec_tiled_chees": ess_chees,
         "tiled_divergence_frac": div_tiled,

@@ -154,6 +154,23 @@ def run_photo_z(key, basis: QuasarBasis, filters: FilterBank, flux_obs, flux_err
     }
 
 
+def run_photo_z_batch(key, basis: QuasarBasis, filters: FilterBank,
+                      flux_obs, flux_err, cfg: PhotoZConfig = PhotoZConfig()):
+    """Batched config 4: INDEPENDENT targets vmapped over the leading axis
+    (``flux_obs``/``flux_err`` [N, n_bands]) — the production shape: one
+    chip carries N tempered ladders at once, each over its own fluxes.
+    ``cfg.n_systems`` applies per target.  Returns the ``run_photo_z``
+    dict with a leading [N] axis on every array."""
+    flux_obs = jnp.asarray(flux_obs, jnp.float32)
+    flux_err = jnp.asarray(flux_err, jnp.float32)
+    keys = jax.random.split(key, flux_obs.shape[0])
+
+    def one(k, fo, fe):
+        return run_photo_z(k, basis, filters, fo, fe, cfg)
+
+    return jax.vmap(one)(keys, flux_obs, flux_err)
+
+
 def run_photo_z_sharded(key, basis: QuasarBasis, filters: FilterBank,
                         flux_obs, flux_err, mesh,
                         cfg: PhotoZConfig = PhotoZConfig(),

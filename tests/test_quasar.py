@@ -144,3 +144,28 @@ def test_photo_z_hmc_adaptive_inner_robust_across_snr(basis, filters):
         frac_near = np.mean(np.abs(z - z_true) < 0.35)
         assert frac_near > min_frac, (snr_frac, frac_near,
                                       np.percentile(z, [5, 50, 95]))
+
+
+def test_photo_z_batch_independent_targets(basis, filters):
+    """run_photo_z_batch: two targets at different z, one vmapped program;
+    each posterior must track ITS OWN target (no cross-target leakage)."""
+    import numpy as np
+    from celeste_tpu.quasar.photo_z import PhotoZConfig, run_photo_z_batch
+
+    rng = np.random.default_rng(5)
+    z_true = np.array([1.2, 3.1])
+    flux, err = [], []
+    for z in z_true:
+        w = jnp.asarray([0.25, 0.25, 0.25, 0.25])
+        f = np.asarray(project_to_bands(basis, filters, w, 2.0, float(z)))
+        e = 0.03 * np.abs(f) + 1e-5
+        flux.append(f + rng.normal(size=f.shape) * e)
+        err.append(e)
+    cfg = PhotoZConfig(n_temps=5, n_steps=400, n_warmup=150, n_systems=2,
+                       inner="hmc_adaptive")
+    out = run_photo_z_batch(jax.random.key(6), basis, filters,
+                            np.stack(flux), np.stack(err), cfg)
+    z = np.asarray(out["z"]).reshape(2, -1)
+    z_med = np.median(z, axis=1)
+    assert abs(z_med[0] - z_true[0]) < 0.35, (z_med, z_true)
+    assert abs(z_med[1] - z_true[1]) < 0.35, (z_med, z_true)
