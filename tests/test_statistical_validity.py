@@ -107,3 +107,67 @@ def test_sbc_rank_uniformity():
     assert chi2 < 24.3, (chi2, bins.tolist())
     # and the ranks must not be degenerate
     assert ranks.min() < n_keep // 4 and ranks.max() > 3 * n_keep // 4
+
+
+def test_chees_ess_estimate_matches_replicate_variance():
+    """The ESS the diagnostics CLAIM must match the ESS the estimator
+    actually DELIVERS: for R independent ChEES replicates started from
+    exact target draws, var over replicates of the posterior-mean
+    estimate is sigma_d^2 / ESS_true.  The claimed ESS (FFT
+    autocorrelation, chains combined) must agree within estimator noise.
+
+    This closes the main loophole in every ESS/sec headline: ChEES shares
+    one jittered trajectory length across chains, so chains are not fully
+    independent — if that coupling (or any autocorrelation
+    underestimation) inflated claimed ESS, this test would catch it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from celeste_tpu.inference import chees_warmup, run_chees_ensemble
+    from celeste_tpu.inference.diagnostics import ess
+
+    cov = np.array([[2.0, 0.9, -0.4], [0.9, 1.0, 0.3], [-0.4, 0.3, 0.7]])
+    mean = np.array([1.0, -2.0, 0.5])
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+
+    def logdensity(x):
+        d = x - jnp.asarray(mean, jnp.float32)
+        return -0.5 * d @ prec @ d
+
+    n_chains, n_steps, n_rep = 32, 200, 24
+    chol = np.linalg.cholesky(cov)
+
+    def exact_draws(key, n):
+        z = jax.random.normal(key, (n, 3))
+        return jnp.asarray(mean, jnp.float32) + z @ jnp.asarray(
+            chol.T, jnp.float32)
+
+    # adapt once (stationary start), freeze (eps, T) for all replicates
+    _, eps, traj = chees_warmup(jax.random.key(0), logdensity,
+                                exact_draws(jax.random.key(1), n_chains),
+                                n_warmup=150)
+    eps, traj = float(eps), float(traj)
+
+    from celeste_tpu.inference import chees_init
+
+    def one_replicate(key):
+        k_init, k_run = jax.random.split(key)
+        st = chees_init(exact_draws(k_init, n_chains), logdensity)
+        samples, _, _ = run_chees_ensemble(k_run, logdensity, st,
+                                           n_steps=n_steps, step_size=eps,
+                                           trajectory_length=traj)
+        return samples                      # [chains, steps, 3]
+
+    keys = jax.random.split(jax.random.key(2), n_rep)
+    all_samples = jax.vmap(one_replicate)(keys)     # [R, chains, steps, 3]
+
+    m_hat = np.asarray(jnp.mean(all_samples, axis=(1, 2)))   # [R, 3]
+    var_emp = m_hat.var(0, ddof=1)                           # [3]
+    ess_emp = np.diag(cov) / var_emp
+    ess_claim = np.stack([np.asarray(ess(all_samples[r]))
+                          for r in range(n_rep)]).mean(0)
+    ratio = ess_claim / ess_emp
+    # chi^2_{23} noise on var_emp gives ~30% std on ess_emp; gate at 2.5x
+    assert np.all(ratio > 0.4) and np.all(ratio < 2.5), (
+        ratio, ess_claim, ess_emp)
