@@ -110,36 +110,39 @@ def _bench_ess_per_sec():
     # dense metric, adapt (eps, T) on the whitened target, run 4x the steps
     # (each is ~2 leapfrogs, not 2^depth)
     try:
-        from celeste_tpu.inference import (
-            chees_warmup, ensemble_covariance, run_chees_ensemble,
-            whiten_logdensity,
-        )
         from celeste_tpu.inference.diagnostics import split_rhat
+        from celeste_tpu.inference.whiten import whitened_chees_run
 
-        m_hat, cov_hat = ensemble_covariance(kept[:, ::4], ridge=1e-4)
-        logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
-        st_c, eps_c, traj_c = jax.jit(lambda k, z: chees_warmup(
-            k, logd_z, z, n_warmup=100, init_step_size=0.3,
-            max_leapfrog=64))(jax.random.key(7), to_z(states.x))
-        eps_c, traj_c = float(eps_c), float(traj_c)
         n_steps_c = 4 * n_steps
-        run_c = jax.jit(lambda k, s: run_chees_ensemble(
-            k, logd_z, s, n_steps=n_steps_c, step_size=eps_c,
-            trajectory_length=traj_c, max_leapfrog=64))
-        out = run_c(jax.random.key(8), st_c)
+        # whiten + adapt + compile via the SAME recipe the pipeline uses
+        # (inference/whiten.whitened_chees_run), then time ONLY the
+        # frozen-parameter sampling (warmup excluded, like the NUTS arm)
+        from celeste_tpu.inference import run_chees_ensemble
+
+        samples_c, info_c, aux = whitened_chees_run(
+            jax.random.key(8), logd, kept[:, ::4], states.x,
+            n_steps=n_steps_c)
+        jax.block_until_ready(samples_c)
+        run_only = jax.jit(lambda k, s: run_chees_ensemble(
+            k, aux["logd_z"], s, n_steps=n_steps_c, step_size=aux["eps"],
+            trajectory_length=aux["traj"], max_leapfrog=64))
+        out = run_only(jax.random.key(9), aux["final_state"])  # compile
         jax.block_until_ready(out)
         t = time.time()
-        samples_c, _, info_c = run_c(jax.random.key(9), st_c)
-        jax.block_until_ready(samples_c)
+        samples_z, _, info_c = run_only(jax.random.key(10),
+                                        aux["final_state"])
+        jax.block_until_ready(samples_z)
         dt_c = time.time() - t
-        kept_c = to_x(samples_c[:, n_steps_c // 4:])
+        kept_c = aux["to_x"](samples_z[:, n_steps_c // 4:])
         ec = np.asarray(ess(kept_c))
         rate_min_c = float(ec.min() / dt_c)
         rh = float(np.max(np.asarray(split_rhat(kept_c))))
         print(f"# crowded ChEES: {dt_c:.2f}s, min ESS/sec {rate_min_c:.1f}, "
               f"median {float(np.median(ec) / dt_c):.1f}, accept "
-              f"{float(jnp.mean(info_c.accept_rate)):.3f}, eps {eps_c:.3f}, "
-              f"traj {traj_c:.3f}, max rhat {rh:.4f}", file=sys.stderr)
+              f"{float(jnp.mean(info_c.accept_rate)):.3f}, eps "
+              f"{aux['eps']:.3f}, traj {aux['traj']:.3f}, divergence "
+              f"{float(jnp.mean(info_c.divergence_rate)):.4f}, max rhat "
+              f"{rh:.4f}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001
         print(f"# crowded chees arm failed: {str(exc)[:200]}", file=sys.stderr)
         rate_min_c = None

@@ -145,8 +145,14 @@ def _galaxy_problem(cfg: ExperimentConfig):
     src = galaxy_source(u=(30.0, 10.0), flux_r=cfg.flux_r)
     scene = make_synthetic_stamp([src], shape=cfg.shape, bands=cfg.bands, seed=cfg.seed)
     nb = len(cfg.bands)
+    color_gmm = None
+    if cfg.color_prior == "gmm":
+        from celeste_tpu.model.color_prior import default_galaxy_gmm
+
+        color_gmm = default_galaxy_gmm()
     priors = SourcePriors(flux=FluxPrior(log_ref_mean=float(np.log(cfg.flux_r)),
-                                         log_ref_std=2.0))
+                                         log_ref_std=2.0,
+                                         color_gmm=color_gmm))
     bands = [0] if nb == 1 else list(cfg.bands)
     logd = make_galaxy_logdensity(scene.stamps, bands=bands, priors=priors, n_bands=nb)
     du = scene.wcs.equa2duas(src["u"])
@@ -166,6 +172,11 @@ def _crowded_problem(cfg: ExperimentConfig):
     )
     from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
 
+    if cfg.color_prior != "gaussian":
+        raise SystemExit(
+            "color_prior=gmm is wired for the star/galaxy problems only; "
+            "the crowded-field priors would need per-kind flux priors — "
+            "rerun with color_prior=gaussian")
     rng = np.random.default_rng(cfg.seed)
     half = cfg.shape[0] * 0.396 / 2.0 - 2.0
     n_gal = min(cfg.n_galaxies, cfg.n_sources)

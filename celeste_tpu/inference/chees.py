@@ -73,6 +73,7 @@ class ChEESInfo(NamedTuple):
     n_leapfrog: jax.Array
     trajectory_length: jax.Array
     step_size: jax.Array
+    divergence_rate: jax.Array   # fraction of chains with non-finite proposal energy
 
 
 def chees_init(xs, logdensity_fn):
@@ -103,7 +104,8 @@ def _ensemble_step(key, state: ChEESState, vg, inv_mass, eps, n_leap,
     x1, p1, logp1, g1 = jax.lax.fori_loop(
         0, n_leap, leap, (state.xs, p0, state.logps, state.grads))
     energy1 = -logp1 + 0.5 * jnp.sum(inv_mass[None, :] * p1 * p1, -1)
-    d_energy = jnp.where(jnp.isfinite(energy1), energy0 - energy1, -jnp.inf)
+    diverged = ~jnp.isfinite(energy1)
+    d_energy = jnp.where(diverged, -jnp.inf, energy0 - energy1)
     accept_prob = jnp.minimum(1.0, jnp.exp(d_energy))
     accept = jax.random.uniform(k_acc, (b,)) < accept_prob
     new = ChEESState(
@@ -113,7 +115,7 @@ def _ensemble_step(key, state: ChEESState, vg, inv_mass, eps, n_leap,
     )
     # velocity at the proposal end (for the ChEES gradient)
     v1 = inv_mass[None, :] * p1
-    return new, accept_prob, x1, v1
+    return new, accept_prob, x1, v1, diverged
 
 
 def _chees_grad(xs, x1, v1, accept_prob, halved):
@@ -180,7 +182,7 @@ def chees_warmup_window(key, logdensity_fn, carry, n_iters: int,
         traj = u * jnp.exp(ad.log_T)
         n_leap = jnp.maximum(1, jnp.round(traj / eps)).astype(jnp.int32)
         halved = jnp.where(n_leap > max_leapfrog, 0.0, 1.0)
-        new, accept_prob, x1, v1 = _ensemble_step(
+        new, accept_prob, x1, v1, _div = _ensemble_step(
             key_t, state, vg, inv_mass, eps, n_leap, max_leapfrog)
         # --- dual averaging on pooled accept rate (Nesterov/Stan schedule)
         acc = jnp.mean(accept_prob)
@@ -255,12 +257,18 @@ def run_chees_ensemble(key, logdensity_fn, state: ChEESState, n_steps: int,
         key_t, i = inp
         u = _halton(i)
         traj = u * jnp.float32(trajectory_length)
-        n_leap = jnp.maximum(1, jnp.round(traj / eps)).astype(jnp.int32)
-        new, accept_prob, _, _ = _ensemble_step(
+        # clip HERE so the info reports the leapfrogs actually executed
+        # (_ensemble_step clips identically; an unclipped report overcounts
+        # gradient work whenever round(u*T/eps) exceeds the cap)
+        n_leap = jnp.clip(jnp.round(traj / eps).astype(jnp.int32),
+                          1, max_leapfrog)
+        new, accept_prob, _, _, diverged = _ensemble_step(
             key_t, state, vg, inv_mass, eps, n_leap, max_leapfrog)
         info = ChEESInfo(accept_rate=jnp.mean(accept_prob),
                          n_leapfrog=n_leap,
-                         trajectory_length=traj, step_size=eps)
+                         trajectory_length=eps * n_leap.astype(jnp.float32),
+                         step_size=eps,
+                         divergence_rate=jnp.mean(diverged.astype(jnp.float32)))
         return new, (new.xs, info)
 
     keys = jax.random.split(key, n_steps)

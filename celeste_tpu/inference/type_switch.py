@@ -42,7 +42,6 @@ import jax.numpy as jnp
 
 from celeste_tpu.inference.hmc import HMCState, hmc_init, hmc_kernel
 from celeste_tpu.inference.map_fit import map_fit
-from celeste_tpu.inference.model_select import laplace_evidence
 
 
 class GaussianPseudoPrior(NamedTuple):
@@ -67,7 +66,14 @@ def fit_pseudo_prior(logdensity_fn, x0, n_map_steps: int = 400,
                      jitter: float = 1e-5):
     """Laplace fit psi ~= posterior of one model: MAP by Adam, covariance
     = inverse negative Hessian (regularized).  Returns the pseudo-prior and
-    the Laplace log-evidence (reusable for initializing p(a))."""
+    the Laplace log-evidence (reusable for initializing p(a)).
+
+    ``logdet_cov`` is computed FROM THE CHOL ACTUALLY SAMPLED WITH (the
+    post-inversion jitter changes the covariance in sharply-constrained
+    directions by up to ~2 nats; logpdf and sample must describe the same
+    Gaussian or the Carlin-Chib indicator odds carry a dimension-dependent
+    bias).  The evidence reuses the Hessian already computed here — it is
+    the dominant cost (D^2 gradients through the render)."""
     x_map, _ = map_fit(logdensity_fn, jnp.asarray(x0), n_steps=n_map_steps)
     h = jax.hessian(logdensity_fn)(x_map)
     d = x_map.shape[0]
@@ -75,10 +81,15 @@ def fit_pseudo_prior(logdensity_fn, x0, n_map_steps: int = 400,
     cov = jnp.linalg.inv(neg_h)
     cov = (cov + cov.T) / 2.0 + jitter * jnp.eye(d)
     chol = jnp.linalg.cholesky(cov)
-    sign, logdet_prec = jnp.linalg.slogdet(neg_h)
+    logdet_cov = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
     pseudo = GaussianPseudoPrior(mean=x_map, chol=chol,
-                                 logdet_cov=-logdet_prec)
-    return pseudo, laplace_evidence(logdensity_fn, x_map)
+                                 logdet_cov=logdet_cov)
+    # Laplace evidence from the same (pre-inversion-jitter) Hessian
+    sign, logdet_prec = jnp.linalg.slogdet(neg_h)
+    logdet_prec = jnp.where(sign > 0, logdet_prec, -jnp.inf)
+    evidence = (logdensity_fn(x_map) + 0.5 * d * jnp.log(2.0 * jnp.pi)
+                - 0.5 * logdet_prec)
+    return pseudo, evidence
 
 
 class TypeSwitchState(NamedTuple):

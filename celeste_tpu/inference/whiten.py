@@ -84,3 +84,37 @@ def whiten_logdensity(logdensity_fn, mean, cov):
         logd_z.batched = logd_z_batch
         logd_z.value_and_grad = batch_aware_value_and_grad(logd_z, logd_z_batch)
     return logd_z, to_x, to_z
+
+
+def whitened_chees_run(key, logdensity_fn, probe_samples, states_x,
+                       n_warmup: int = 100, n_steps: int = 400,
+                       init_step_size: float = 0.3, max_leapfrog: int = 64,
+                       ridge: float = 1e-4):
+    """The standard dense-metric ChEES recipe, in ONE place (used by the
+    bench crowded arm and the pipeline's joint sampler; the config-5 bench
+    keeps its own segmented variant in bench/config5.py because its device
+    calls must stay under the axon kill budget — constants here and there
+    are intentionally the same).
+
+    probe_samples: [B, n, D] samples that pool the dense metric (typically
+    a short diagonal-metric NUTS probe).  states_x: [B, D] current chain
+    positions.  Returns (samples_x [B, n_steps, D], infos, aux dict with
+    eps/traj/to_x/logd_z).
+    """
+    from celeste_tpu.inference.chees import chees_warmup, run_chees_ensemble
+
+    m_hat, cov_hat = ensemble_covariance(probe_samples, ridge=ridge)
+    logd_z, to_x, to_z = whiten_logdensity(logdensity_fn, m_hat, cov_hat)
+    k_warm, k_run = jax.random.split(key)
+    st, eps, traj = chees_warmup(k_warm, logd_z, to_z(states_x),
+                                 n_warmup=n_warmup,
+                                 init_step_size=init_step_size,
+                                 max_leapfrog=max_leapfrog)
+    eps, traj = float(eps), float(traj)
+    samples_z, st, infos = run_chees_ensemble(k_run, logd_z, st,
+                                              n_steps=n_steps, step_size=eps,
+                                              trajectory_length=traj,
+                                              max_leapfrog=max_leapfrog)
+    aux = {"eps": eps, "traj": traj, "to_x": to_x, "to_z": to_z,
+           "logd_z": logd_z, "final_state": st}
+    return to_x(samples_z), infos, aux

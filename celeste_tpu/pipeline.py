@@ -351,25 +351,16 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
     if cfg.sampler == "chees":
         # probe with the diagonal NUTS kernel to pool a dense metric, then
         # sample the whitened target with ensemble-adaptive jittered HMC
-        # (the bench-proven config-5 recipe; DESIGN.md §5)
-        from celeste_tpu.inference import (
-            chees_warmup, ensemble_covariance, run_chees_ensemble,
-            whiten_logdensity,
-        )
+        # (the bench-proven config-5 recipe, centralized in
+        # inference/whiten.whitened_chees_run; DESIGN.md §5)
+        from celeste_tpu.inference.whiten import whitened_chees_run
 
         s_probe, _, _ = run_chains_ensemble(jax.random.fold_in(k_s, 1), kern,
                                             states, n_steps=16)
-        m_hat, cov_hat = ensemble_covariance(s_probe, ridge=1e-4)
-        logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
-        st_c, eps_c, traj_c = chees_warmup(
-            jax.random.fold_in(k_s, 2), logd_z, to_z(states.x),
-            n_warmup=100, init_step_size=0.3, max_leapfrog=64)
-        samples_z, _, info_c = run_chees_ensemble(
-            jax.random.fold_in(k_s, 3), logd_z, st_c, n_steps=cfg.n_steps,
-            step_size=float(eps_c), trajectory_length=float(traj_c),
-            max_leapfrog=64)
-        samples = to_x(samples_z)
-        div = 0.0
+        samples, info_c, _aux = whitened_chees_run(
+            jax.random.fold_in(k_s, 2), logd, s_probe, states.x,
+            n_steps=cfg.n_steps)
+        div = float(jnp.mean(info_c.divergence_rate))
         accept = float(jnp.mean(info_c.accept_rate))
     else:
         samples, _, info = run_chains_ensemble(k_s, kern, states,
