@@ -96,7 +96,11 @@ CONFIGS = {
                                bands=(2,)),
     "quasar_photoz": ExperimentConfig(name="quasar_photoz", sampler="tempered_slice",
                                       n_chains=8, n_steps=1500, n_warmup=500),
-    "crowded_field": ExperimentConfig(name="crowded_field", sampler="nuts",
+    # chees + dense metric: the measured-best crowded sampler (25.8x NUTS
+    # min-ESS/sec on v5e; BASELINE.md); sampler=nuts metric=diag restores
+    # the reference-style configuration
+    "crowded_field": ExperimentConfig(name="crowded_field", sampler="chees",
+                                      metric="dense",
                                       n_chains=256, n_steps=500, shape=(41, 41),
                                       n_sources=10, bands=(2,)),
     "pipeline": ExperimentConfig(name="pipeline", sampler="nuts", n_chains=16,
