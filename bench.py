@@ -57,7 +57,7 @@ def _bench_ess_per_sec():
     """NUTS ensemble ESS/sec on the 6-star crowded field (n_bands=1 ->
     D=18, matching the oracle measurement in BASELINE.md)."""
     from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
-    from celeste_tpu.inference import hmc_init, nuts_kernel, run_chains_ensemble
+    from celeste_tpu.inference import nuts_kernel, run_chains_ensemble
     from celeste_tpu.inference.diagnostics import ess
     from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
 

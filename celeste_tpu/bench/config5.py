@@ -99,7 +99,7 @@ def config5_warmup_and_whiten(logd, vec, n_chains=1024, n_warmup=150,
     import time
 
     from celeste_tpu.inference import (
-        ensemble_covariance, hmc_init, hmc_warmup_finish, hmc_warmup_init,
+        ensemble_covariance, hmc_warmup_finish, hmc_warmup_init,
         hmc_warmup_window, nuts_kernel, run_chains_ensemble,
         whiten_logdensity,
     )

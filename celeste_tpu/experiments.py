@@ -19,8 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -234,7 +233,7 @@ def run_experiment(cfg: ExperimentConfig):
     """Execute one experiment; returns a results dict (also written to
     cfg.out if set)."""
     from celeste_tpu.inference import (
-        hmc_init, hmc_kernel, hmc_warmup, hmc_warmup_finish, hmc_warmup_init,
+        hmc_kernel, hmc_warmup, hmc_warmup_finish, hmc_warmup_init,
         hmc_warmup_window, mh_init, mh_kernel, nuts_kernel,
         run_chains_ensemble, slice_init, slice_kernel, summarize,
     )

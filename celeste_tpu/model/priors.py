@@ -20,7 +20,6 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import jax.numpy as jnp
-import numpy as np
 
 REF_BAND = 2  # r band
 
