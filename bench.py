@@ -1,4 +1,4 @@
-"""Round benchmark — prints ONE JSON line (driver contract).
+"""Round benchmark — prints ONE JSON line on stdout (driver contract).
 
 Headline metric (BASELINE.json): single-stamp likelihood evals/sec/chip on
 the fused path, measured at B=65536 chains on one SDSS-like 25x25 r-band
@@ -6,13 +6,25 @@ stamp.  ``vs_baseline`` is the speedup over the measured NumPy-oracle rate
 standing in for the unreadable reference (BASELINE.md: 1.06e4 evals/s on
 this VM's CPU, measured 2026-08-16 via the commands recorded there).
 
-Secondary fields in the same JSON object: ESS/sec of the NUTS chain
-ensemble on a 6-star crowded field (D=18) and its ratio to the measured
-oracle slice-sampler ESS/sec on the same posterior (the >=100x north-star).
+Wall-clock discipline (VERDICT r2 Missing #1): the whole run operates
+under a budget (env ``CELESTE_BENCH_BUDGET_S``, default 480 s).  Stages
+run in priority order, each with a cost estimate; a stage that does not
+fit the remaining budget is skipped (its fields stay null).  A watchdog
+thread prints the final JSON line and exits the process if the main
+thread is still inside a device call when the budget expires — the one
+line ALWAYS prints, and it is always the last stdout line (all progress
+goes to stderr; the pipeline stage's JSONL metrics are discarded).
+
+Secondary fields: config-5-as-written ESS/sec (vs its OWN measured oracle
+denominator, scripts/oracle_config5_bench.py), the 6-star crowded-field
+ESS/sec, tiled-field eval rate, photo-z batch throughput, and pipeline
+wall time.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -21,7 +33,98 @@ import jax
 import jax.numpy as jnp
 
 ORACLE_EVAL_RATE = 1.06e4        # evals/s, NumPy oracle, this VM (BASELINE.md)
-ORACLE_CROWDED_ESS_RATE = None   # filled from BASELINE.md measurement below
+ORACLE_CROWDED_ESS_RATE = 6.0    # min ESS/sec, oracle slice, 6-star D=18 field
+# min ESS/sec, oracle slice sampler on the EXACT config-5 scene (12 mixed
+# sources, D=44), measured on this VM's CPU 2026-08-17
+# (scripts/oracle_config5_bench.py -> scripts/oracle_config5_results.json)
+ORACLE_CONFIG5_ESS_RATE = None   # filled below from the committed record
+
+_rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "oracle_config5_results.json")
+try:
+    with open(_rec_path) as _fh:
+        ORACLE_CONFIG5_ESS_RATE = json.load(_fh)["ess_per_sec_min"]
+except Exception:  # noqa: BLE001 — record absent: ratio fields stay null
+    pass
+
+BUDGET_S = float(os.environ.get("CELESTE_BENCH_BUDGET_S", "480"))
+_T0 = time.monotonic()
+
+
+def _elapsed():
+    return time.monotonic() - _T0
+
+
+def _remaining():
+    return BUDGET_S - _elapsed()
+
+
+# The single result record.  Stages mutate it in place so the watchdog can
+# snapshot whatever has completed at any instant.
+RESULT = {
+    "metric": "single-stamp likelihood evals/sec/chip",
+    "value": 0.0,
+    "unit": "evals/s",
+    "vs_baseline": 0.0,
+    "evals_per_sec_pallas": None,
+    "evals_per_sec_jnp": None,
+    "ess_per_sec_crowded": None,
+    "ess_per_sec_crowded_chees": None,
+    "ess_vs_oracle": None,
+    "ess_vs_oracle_chees": None,
+    "tiled_field_evals_per_sec": None,
+    "photoz_targets_per_sec": None,
+    "photoz_z_recovery_frac": None,
+    "photoz_batch_n": None,
+    "ess_per_sec_tiled": None,
+    "ess_per_sec_tiled_chees": None,
+    "ess_vs_oracle_config5": None,
+    "ess_vs_oracle_config5_chees": None,
+    "tiled_divergence_frac": None,
+    "tiled_dense_parity": None,
+    "tiled_dense_parity_rel": None,
+    "tiled_dense_parity_ok": None,
+    "pipeline_wall_time_s": None,
+    "stages_skipped": [],
+    "bench_budget_s": BUDGET_S,
+    "bench_wall_s": None,
+    "backend": None,
+}
+
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _emit():
+    """Print the final JSON line exactly once (main path or watchdog)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        RESULT["bench_wall_s"] = round(_elapsed(), 1)
+        try:
+            RESULT["backend"] = jax.default_backend()
+        except Exception:  # noqa: BLE001
+            pass
+        sys.stdout.write(json.dumps(RESULT) + "\n")
+        sys.stdout.flush()
+
+
+def _watchdog():
+    """If the main thread is wedged in a device call when the budget runs
+    out, print whatever has been recorded and hard-exit: a partial record
+    with rc=0 beats a timeout with no record (BENCH_r02 was rc=124)."""
+    while True:
+        left = _remaining() - 8.0       # margin for the print itself
+        if left <= 0:
+            break
+        time.sleep(min(left, 2.0))
+    if not _EMITTED:
+        print(f"# WATCHDOG: budget {BUDGET_S:.0f}s expired at "
+              f"{_elapsed():.0f}s — emitting partial record", file=sys.stderr)
+        _emit()
+        os._exit(0)
 
 
 def _bench_evals_per_sec():
@@ -50,15 +153,71 @@ def _bench_evals_per_sec():
         rate = n * iters / (time.time() - t)
         print(f"# evals/sec impl={impl}: {rate:.3e}", file=sys.stderr)
         rates[impl] = rate
-    return rates
+        # record incrementally so a watchdog emit mid-stage keeps whatever
+        # implementation already finished
+        RESULT[f"evals_per_sec_{impl}"] = rate
+        RESULT["value"] = max(rates.values())
+        RESULT["vs_baseline"] = RESULT["value"] / ORACLE_EVAL_RATE
+
+
+def _bench_config5_tiled(n_chains=1024, n_steps=96, n_warmup=100,
+                         warmup_window=50, run_segment=16):
+    """BASELINE config 5 AS WRITTEN: 12 overlapping sources (10 stars + 2
+    galaxies), 1024 chains, block-sparse TILED likelihood, single chip.
+
+    Two sampler arms from the IDENTICAL warmed+whitened ensemble
+    (celeste_tpu/bench/config5.py): whitened NUTS (depth 5) and whitened
+    ChEES-HMC.  Execution is SEGMENTED (the axon tunnel kills device calls
+    in the 60-120 s band — measured, scripts/tpu_session4/5); numerically
+    identical to the monolithic program (tests pin warmup windows and
+    Halton continuation).  Gradients route through the batch-aware vg
+    (7x; inference/vg.py).  The tiled<->dense parity gap is GATED at a
+    relative bound (VERDICT r2 Weak #2): a tile-truncation regression
+    trips ``tiled_dense_parity_ok`` instead of sailing through."""
+    from celeste_tpu.bench.config5 import (
+        build_config5, config5_parity_gap, config5_warmup_and_whiten,
+        measure_chees_z, measure_nuts_z,
+    )
+
+    logd, logd_dense, vec, _info = build_config5()
+
+    gap_abs, gap_rel = config5_parity_gap(logd, logd_dense, vec)
+    RESULT["tiled_dense_parity"] = gap_abs
+    RESULT["tiled_dense_parity_rel"] = gap_rel
+    RESULT["tiled_dense_parity_ok"] = bool(gap_rel < 1e-5)
+    print(f"# config5 tiled-dense parity {gap_abs:.3f} "
+          f"(rel {gap_rel:.2e}, ok={RESULT['tiled_dense_parity_ok']})",
+          file=sys.stderr)
+
+    prep = config5_warmup_and_whiten(logd, vec, n_chains=n_chains,
+                                     n_warmup=n_warmup,
+                                     warmup_window=warmup_window)
+    rate_min, div, _depth = measure_nuts_z(prep, n_steps=n_steps,
+                                           run_segment=run_segment)
+    RESULT["ess_per_sec_tiled"] = rate_min
+    RESULT["tiled_divergence_frac"] = div
+    if ORACLE_CONFIG5_ESS_RATE:
+        RESULT["ess_vs_oracle_config5"] = rate_min / ORACLE_CONFIG5_ESS_RATE
+    try:
+        rate_chees, _acc, _nl = measure_chees_z(prep)
+        RESULT["ess_per_sec_tiled_chees"] = rate_chees
+        if ORACLE_CONFIG5_ESS_RATE:
+            RESULT["ess_vs_oracle_config5_chees"] = (
+                rate_chees / ORACLE_CONFIG5_ESS_RATE)
+    except Exception as e:  # noqa: BLE001
+        print(f"# config5 chees arm failed: {str(e)[:200]}", file=sys.stderr)
 
 
 def _bench_ess_per_sec():
-    """NUTS ensemble ESS/sec on the 6-star crowded field (n_bands=1 ->
-    D=18, matching the oracle measurement in BASELINE.md)."""
+    """NUTS + ChEES ensemble ESS/sec on the 6-star crowded field (n_bands=1
+    -> D=18, matching the oracle measurement in BASELINE.md).  The ChEES
+    arm warms up once and is timed on its ONLY sampling run (VERDICT r2
+    Weak #5: the old flow sampled twice and discarded the first)."""
     from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
-    from celeste_tpu.inference import nuts_kernel, run_chains_ensemble
-    from celeste_tpu.inference.diagnostics import ess
+    from celeste_tpu.inference import (
+        hmc_warmup, nuts_kernel, run_chains_ensemble,
+    )
+    from celeste_tpu.inference.diagnostics import ess, split_rhat
     from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
 
     offs = [(-3, -2), (2.5, 1.5), (0, 2.5), (-2, 2), (3, -2.5), (0.5, -1)]
@@ -77,9 +236,7 @@ def _bench_ess_per_sec():
     key = jax.random.key(0)
     x0 = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(1), (n_chains, 18))
 
-    # adapt step size + diagonal mass (vmapped dual-averaging warmup);
-    # with the mass preconditioner the dimensionless step lands ~0.5
-    from celeste_tpu.inference import hmc_warmup
+    # adapt step size + diagonal mass (vmapped dual-averaging warmup)
     states, ss, im = jax.jit(jax.vmap(
         lambda k, x: hmc_warmup(k, logd, x, n_warmup=200, n_leapfrog=8)
     ))(jax.random.split(jax.random.key(3), n_chains), x0)
@@ -88,14 +245,13 @@ def _bench_ess_per_sec():
     inv_mass = jnp.mean(im, axis=0)
     print(f"# crowded warmup: step_size={step_size:.4f}", file=sys.stderr)
     kern = nuts_kernel(logd, step_size=step_size, inv_mass=inv_mass, max_depth=6)
-    init = states
 
     # compile once (untimed), then time the run
     run = jax.jit(lambda k, s: run_chains_ensemble(k, kern, s, n_steps=n_steps))
-    samples, _, _ = run(key, init)
+    samples, _, _ = run(key, states)
     samples.block_until_ready()
     t = time.time()
-    samples, _, info = run(jax.random.key(2), init)
+    samples, _, info = run(jax.random.key(2), states)
     samples.block_until_ready()
     dt = time.time() - t
     kept = samples[:, n_steps // 4:]
@@ -105,48 +261,93 @@ def _bench_ess_per_sec():
     print(f"# crowded NUTS: {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
           f"median {rate_med:.1f}, divergence frac "
           f"{float(jnp.mean(info.diverged.astype(jnp.float32))):.4f}", file=sys.stderr)
+    RESULT["ess_per_sec_crowded"] = rate_min
+    RESULT["ess_vs_oracle"] = rate_min / ORACLE_CROWDED_ESS_RATE
 
     # ChEES arm from the same warmed ensemble: pool the NUTS samples into a
-    # dense metric, adapt (eps, T) on the whitened target, run 4x the steps
-    # (each is ~2 leapfrogs, not 2^depth)
-    try:
-        from celeste_tpu.inference.diagnostics import split_rhat
-        from celeste_tpu.inference.whiten import whitened_chees_run
+    # dense metric, adapt (eps, T) on the whitened target, then time ONE
+    # sampling run (4x the NUTS steps — each is ~2 leapfrogs, not 2^depth)
+    from celeste_tpu.inference import run_chees_ensemble
+    from celeste_tpu.inference.chees import chees_warmup
+    from celeste_tpu.inference.whiten import ensemble_covariance, whiten_logdensity
 
-        n_steps_c = 4 * n_steps
-        # whiten + adapt + compile via the SAME recipe the pipeline uses
-        # (inference/whiten.whitened_chees_run), then time ONLY the
-        # frozen-parameter sampling (warmup excluded, like the NUTS arm)
-        from celeste_tpu.inference import run_chees_ensemble
+    n_steps_c = 4 * n_steps
+    m_hat, cov_hat = ensemble_covariance(kept[:, ::4], ridge=1e-4)
+    logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
+    st_c, eps_c, traj_c = chees_warmup(jax.random.key(8), logd_z,
+                                       to_z(states.x), n_warmup=100,
+                                       init_step_size=0.3, max_leapfrog=64)
+    eps_c, traj_c = float(eps_c), float(traj_c)
+    run_c = jax.jit(lambda k, s: run_chees_ensemble(
+        k, logd_z, s, n_steps=n_steps_c, step_size=eps_c,
+        trajectory_length=traj_c, max_leapfrog=64))
+    out = run_c(jax.random.key(9), st_c)   # compile (untimed)
+    jax.block_until_ready(out)
+    t = time.time()
+    samples_z, _, info_c = run_c(jax.random.key(10), st_c)
+    jax.block_until_ready(samples_z)
+    dt_c = time.time() - t
+    kept_c = to_x(samples_z[:, n_steps_c // 4:])
+    ec = np.asarray(ess(kept_c))
+    rate_min_c = float(ec.min() / dt_c)
+    rh = float(np.max(np.asarray(split_rhat(kept_c))))
+    print(f"# crowded ChEES: {dt_c:.2f}s, min ESS/sec {rate_min_c:.1f}, "
+          f"median {float(np.median(ec) / dt_c):.1f}, accept "
+          f"{float(jnp.mean(info_c.accept_rate)):.3f}, eps {eps_c:.3f}, "
+          f"traj {traj_c:.3f}, divergence "
+          f"{float(jnp.mean(info_c.divergence_rate)):.4f}, max rhat "
+          f"{rh:.4f}", file=sys.stderr)
+    RESULT["ess_per_sec_crowded_chees"] = rate_min_c
+    RESULT["ess_vs_oracle_chees"] = rate_min_c / ORACLE_CROWDED_ESS_RATE
 
-        samples_c, info_c, aux = whitened_chees_run(
-            jax.random.key(8), logd, kept[:, ::4], states.x,
-            n_steps=n_steps_c)
-        jax.block_until_ready(samples_c)
-        run_only = jax.jit(lambda k, s: run_chees_ensemble(
-            k, aux["logd_z"], s, n_steps=n_steps_c, step_size=aux["eps"],
-            trajectory_length=aux["traj"], max_leapfrog=64))
-        out = run_only(jax.random.key(9), aux["final_state"])  # compile
-        jax.block_until_ready(out)
-        t = time.time()
-        samples_z, _, info_c = run_only(jax.random.key(10),
-                                        aux["final_state"])
-        jax.block_until_ready(samples_z)
-        dt_c = time.time() - t
-        kept_c = aux["to_x"](samples_z[:, n_steps_c // 4:])
-        ec = np.asarray(ess(kept_c))
-        rate_min_c = float(ec.min() / dt_c)
-        rh = float(np.max(np.asarray(split_rhat(kept_c))))
-        print(f"# crowded ChEES: {dt_c:.2f}s, min ESS/sec {rate_min_c:.1f}, "
-              f"median {float(np.median(ec) / dt_c):.1f}, accept "
-              f"{float(jnp.mean(info_c.accept_rate)):.3f}, eps "
-              f"{aux['eps']:.3f}, traj {aux['traj']:.3f}, divergence "
-              f"{float(jnp.mean(info_c.divergence_rate)):.4f}, max rhat "
-              f"{rh:.4f}", file=sys.stderr)
-    except Exception as exc:  # noqa: BLE001
-        print(f"# crowded chees arm failed: {str(exc)[:200]}", file=sys.stderr)
-        rate_min_c = None
-    return rate_min, rate_min_c
+
+def _bench_photoz_batch(n_targets=256):
+    """BASELINE config 4 throughput at production batch scale: N
+    independent quasar photo-z tempered posteriors batched on one chip,
+    SEGMENTED so N is no longer pinned by the ~45 s axon device-call kill
+    edge (VERDICT r2 Missing #4 / Next #3)."""
+    from celeste_tpu.quasar.basis import QuasarBasis
+    from celeste_tpu.quasar.filters import sdss_like_filterbank
+    from celeste_tpu.quasar.photo_z import (
+        PhotoZConfig, run_photo_z_batch_segmented,
+    )
+    from celeste_tpu.quasar.photometry import project_to_bands
+
+    basis = QuasarBasis.default()
+    filters = sdss_like_filterbank(n_pts=64)
+    rng = np.random.default_rng(17)
+    z_true = rng.uniform(0.5, 4.0, n_targets)
+    flux, err = [], []
+    ws = rng.dirichlet(np.ones(basis.n_basis), size=n_targets)
+    f_clean = np.asarray(jax.vmap(
+        lambda w, z: project_to_bands(basis, filters, w, 2.0, z)
+    )(jnp.asarray(ws, jnp.float32), jnp.asarray(z_true, jnp.float32)))
+    for i in range(n_targets):
+        e = 0.03 * np.abs(f_clean[i]) + 1e-5
+        flux.append(f_clean[i] + rng.normal(size=e.shape) * e)
+        err.append(e)
+    flux = np.stack(flux).astype(np.float32)
+    err = np.stack(err).astype(np.float32)
+
+    cfg = PhotoZConfig(n_temps=6, n_steps=400, n_warmup=150, n_systems=1,
+                       inner="hmc_adaptive")
+    run = lambda k: run_photo_z_batch_segmented(
+        k, basis, filters, flux, err, cfg, segment_steps=100)
+    out = run(jax.random.key(4))           # compile (untimed)
+    jax.block_until_ready(out["z"])
+    t = time.time()
+    out = run(jax.random.key(5))
+    jax.block_until_ready(out["z"])
+    dt = time.time() - t
+    z_med = np.median(np.asarray(out["z"]).reshape(n_targets, -1), axis=1)
+    recov = float(np.mean(np.abs(z_med - z_true) < 0.25))
+    rate = n_targets / dt
+    print(f"# photo-z batch ({n_targets} targets, 6-temp ladder, "
+          f"hmc_adaptive, segmented): {dt:.2f}s, {rate:.1f} targets/s, "
+          f"z-recovery {recov:.2f}", file=sys.stderr)
+    RESULT["photoz_targets_per_sec"] = rate
+    RESULT["photoz_z_recovery_frac"] = recov
+    RESULT["photoz_batch_n"] = n_targets
 
 
 def _bench_tiled_field():
@@ -189,110 +390,21 @@ def _bench_tiled_field():
     rate = b * 20 / (time.time() - t)
     print(f"# tiled field (64 src, 128x512, bucketed): {rate:.3e} field-evals/s",
           file=sys.stderr)
-    return rate
-
-
-def _bench_config5_tiled(n_chains=1024, n_steps=96, n_warmup=150,
-                         warmup_window=50, run_segment=16):
-    """BASELINE config 5 AS WRITTEN (VERDICT r1 #3): 12 overlapping sources
-    (10 stars + 2 galaxies - production fields are mixed-kind), 1024
-    chains, block-sparse TILED likelihood, single chip.  Returns
-    (nuts min ESS/sec, divergence fraction, max |tiled - dense| parity gap,
-    chees min ESS/sec).
-
-    Two sampler arms from the IDENTICAL warmed+whitened ensemble
-    (celeste_tpu/bench/config5.py): whitened NUTS (depth 5) and whitened
-    ChEES-HMC (ensemble-adapted jittered trajectories).  Execution is
-    SEGMENTED: the axon tunnel kills device calls somewhere in the
-    60-120 s band (measured, scripts/tpu_session4/5) - numerically
-    identical to the monolithic program (tests pin warmup windows and
-    Halton continuation).  Gradients route through the batch-aware vg
-    (7x; inference/vg.py)."""
-    from celeste_tpu.bench.config5 import (
-        build_config5, config5_warmup_and_whiten, measure_chees_z,
-        measure_nuts_z,
-    )
-
-    logd, logd_dense, vec, _info = build_config5()
-    d = int(vec.shape[0])
-
-    # parity gate: tiled vs dense on perturbed states
-    probe = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(9), (8, d))
-    lt = np.asarray(jax.vmap(logd)(probe))
-    ld = np.asarray(jax.vmap(logd_dense)(probe))
-    parity = float(np.max(np.abs(lt - ld)))
-    print(f"# config5 tiled-dense parity {parity:.3f}", file=sys.stderr)
-
-    prep = config5_warmup_and_whiten(logd, vec, n_chains=n_chains,
-                                     n_warmup=n_warmup,
-                                     warmup_window=warmup_window)
-    rate_min, div, _depth = measure_nuts_z(prep, n_steps=n_steps,
-                                           run_segment=run_segment)
-    try:
-        rate_chees, _acc, _nl = measure_chees_z(prep)
-    except Exception as e:  # noqa: BLE001
-        print(f"# config5 chees arm failed: {str(e)[:200]}", file=sys.stderr)
-        rate_chees = None
-    return rate_min, div, parity, rate_chees
-
-
-def _bench_photoz_batch(n_targets=32):
-    """BASELINE config 4 throughput: N independent quasar photo-z tempered
-    posteriors batched on one chip.  Returns (targets/sec, z-recovery
-    fraction |z_med - z_true| < 0.25)."""
-    from celeste_tpu.quasar.basis import QuasarBasis
-    from celeste_tpu.quasar.filters import sdss_like_filterbank
-    from celeste_tpu.quasar.photo_z import PhotoZConfig, run_photo_z_batch
-    from celeste_tpu.quasar.photometry import project_to_bands
-
-    basis = QuasarBasis.default()
-    filters = sdss_like_filterbank(n_pts=64)
-    rng = np.random.default_rng(17)
-    z_true = rng.uniform(0.5, 4.0, n_targets)
-    flux, err = [], []
-    for i in range(n_targets):
-        w = rng.dirichlet(np.ones(basis.n_basis))
-        f = np.asarray(project_to_bands(basis, filters,
-                                        jnp.asarray(w, jnp.float32),
-                                        2.0, float(z_true[i])))
-        e = 0.03 * np.abs(f) + 1e-5
-        flux.append(f + rng.normal(size=f.shape) * e)
-        err.append(e)
-    flux = np.stack(flux).astype(np.float32)
-    err = np.stack(err).astype(np.float32)
-
-    # sizes fit the axon device-call budget (measured: 64 targets x 400
-    # steps ~45 s cached — the kill edge; 32 stays comfortably inside)
-    cfg = PhotoZConfig(n_temps=6, n_steps=400, n_warmup=150, n_systems=1,
-                       inner="hmc_adaptive")
-    # NO outer jit: the fused warmup+sampling program (nested scans +
-    # while_loops under a double vmap) exceeds the axon tunnel's compile
-    # budget; uncoalesced, each lax.scan compiles as its own program
-    run = lambda k: run_photo_z_batch(k, basis, filters, flux, err, cfg)
-    out = run(jax.random.key(4))           # compile (untimed)
-    jax.block_until_ready(out["z"])
-    t = time.time()
-    out = run(jax.random.key(5))
-    jax.block_until_ready(out["z"])
-    dt = time.time() - t
-    z_med = np.median(np.asarray(out["z"]).reshape(n_targets, -1), axis=1)
-    recov = float(np.mean(np.abs(z_med - z_true) < 0.25))
-    rate = n_targets / dt
-    print(f"# photo-z batch ({n_targets} targets, 6-temp ladder, "
-          f"hmc_adaptive): {dt:.2f}s, {rate:.1f} targets/s, z-recovery "
-          f"{recov:.2f}", file=sys.stderr)
-    return rate, recov
+    RESULT["tiled_field_evals_per_sec"] = rate
 
 
 def _bench_pipeline_walltime():
-    """End-to-end catalog pipeline wall time (VERDICT r1 #5: the classify
-    stage is now ONE vmapped device call per sweep; this records what the
-    whole pixels->catalog flow costs on the chip, compiles included)."""
+    """End-to-end catalog pipeline wall time (pixels -> catalog, compiles
+    included).  Sized for the bench budget: the pipeline is tuning, not
+    physics, at demo scale (VERDICT r2 Next #1), so warmup/steps are the
+    smallest sizes that keep rhat/divergence clean.  JSONL metrics go to
+    /dev/null so stdout stays reserved for the final record."""
     from celeste_tpu.data.synthetic import (
         galaxy_source, make_synthetic_stamp, star_source,
     )
     from celeste_tpu.model.priors import FluxPrior, SourcePriors
     from celeste_tpu.pipeline import PipelineConfig, run_pipeline
+    from celeste_tpu.utils.metrics import MetricsLogger
 
     cosd = np.cos(np.deg2rad(10.0))
     srcs = [
@@ -302,64 +414,50 @@ def _bench_pipeline_walltime():
     ]
     scene = make_synthetic_stamp(srcs, shape=(33, 33), bands=(2,), seed=101)
     priors = SourcePriors(flux=FluxPrior(log_ref_mean=3.2, log_ref_std=2.0))
-    cfg = PipelineConfig(max_sources=5, n_chains=32, n_warmup=150, n_steps=250,
-                         map_steps=250, seed=3, detection_min_separation=7)
+    cfg = PipelineConfig(max_sources=5, n_chains=32, n_warmup=80, n_steps=160,
+                         map_steps=150, seed=3, detection_min_separation=7)
+    devnull = open(os.devnull, "w")
     t = time.time()
     catalog, artifacts = run_pipeline(scene.stamps[0], band=0, n_bands=1,
-                                      cfg=cfg, priors=priors)
+                                      cfg=cfg, priors=priors,
+                                      logger=MetricsLogger(stream=devnull))
     dt = time.time() - t
-    print(f"# pipeline (3-src mixed field, detect+classify+NUTS): {dt:.1f}s "
+    devnull.close()
+    print(f"# pipeline (3-src mixed field, detect+classify+sample): {dt:.1f}s "
           f"wall, {artifacts['n_sources']} sources", file=sys.stderr)
-    return dt
+    RESULT["pipeline_wall_time_s"] = dt
 
 
-def _stage(name, fn, default):
-    """One benchmark stage; a device fault in one stage must not cost the
-    round its whole JSON record (a wedged axon device can take later stages
-    with it, but whatever already ran is preserved)."""
+def _stage(name, fn, est_s):
+    """One benchmark stage under the budget: skipped when the estimate does
+    not fit the remaining budget; a fault in one stage must not cost the
+    round its whole JSON record."""
+    if _remaining() < est_s:
+        print(f"# STAGE SKIPPED {name}: est {est_s:.0f}s > "
+              f"{_remaining():.0f}s remaining", file=sys.stderr)
+        RESULT["stages_skipped"].append(name)
+        return
+    t = time.time()
     try:
-        return fn()
+        fn()
+        print(f"# stage {name}: {time.time() - t:.1f}s "
+              f"({_remaining():.0f}s left)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"# STAGE FAILED {name}: {str(e)[:300]}", file=sys.stderr)
-        return default
 
 
 def main():
-    rates = _stage("evals", _bench_evals_per_sec, {"pallas": 0.0, "jnp": 0.0})
-    evals_rate = max(rates.values())
-    ess_rate, ess_rate_chees = _stage("crowded_ess", _bench_ess_per_sec,
-                                      (None, None))
-    tiled_rate = _stage("tiled_field", _bench_tiled_field, None)
-    photoz_rate, photoz_recov = _stage("photoz_batch", _bench_photoz_batch,
-                                       (None, None))
-    pipeline_s = _stage("pipeline", _bench_pipeline_walltime, None)
-    # config5 runs LAST: the biggest single device program; if it wedges the
-    # chip (DESIGN.md §3) everything above is already recorded
-    ess_tiled, div_tiled, parity_tiled, ess_chees = _stage(
-        "config5_tiled", _bench_config5_tiled, (None, None, None, None))
-    oracle_crowded = 6.0  # min ESS/sec, oracle slice, 6-star field (BASELINE.md)
-    print(json.dumps({
-        "metric": "single-stamp likelihood evals/sec/chip",
-        "value": evals_rate,
-        "unit": "evals/s",
-        "vs_baseline": evals_rate / ORACLE_EVAL_RATE,
-        "evals_per_sec_pallas": rates["pallas"],
-        "evals_per_sec_jnp": rates["jnp"],
-        "ess_per_sec_crowded": ess_rate,
-        "ess_per_sec_crowded_chees": ess_rate_chees,
-        "ess_vs_oracle": None if ess_rate is None else ess_rate / oracle_crowded,
-        "ess_vs_oracle_chees": None if ess_rate_chees is None
-        else ess_rate_chees / oracle_crowded,
-        "tiled_field_evals_per_sec": tiled_rate,
-        "photoz_targets_per_sec": photoz_rate,
-        "photoz_z_recovery_frac": photoz_recov,
-        "ess_per_sec_tiled": ess_tiled,
-        "ess_per_sec_tiled_chees": ess_chees,
-        "tiled_divergence_frac": div_tiled,
-        "tiled_dense_parity": parity_tiled,
-        "pipeline_wall_time_s": pipeline_s,
-        "backend": jax.default_backend(),
-    }))
+    threading.Thread(target=_watchdog, daemon=True).start()
+    # priority order: headline first, then config-5 (the flagship secondary,
+    # VERDICT r2 Next #1), then the rest.  Estimates are measured r2 TPU
+    # walls + headroom; the watchdog covers a wedged device call.
+    _stage("evals", _bench_evals_per_sec, est_s=55)
+    _stage("config5_tiled", _bench_config5_tiled, est_s=230)
+    _stage("crowded_ess", _bench_ess_per_sec, est_s=110)
+    _stage("photoz_batch", _bench_photoz_batch, est_s=90)
+    _stage("tiled_field", _bench_tiled_field, est_s=35)
+    _stage("pipeline", _bench_pipeline_walltime, est_s=110)
+    _emit()
 
 
 if __name__ == "__main__":

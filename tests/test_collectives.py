@@ -251,3 +251,31 @@ def test_run_photo_z_sharded_recovers_z():
     assert float(out["swap_rate"]) > 0.05
     # the cold chain finds the true-z mode region
     assert abs(np.median(z) - z_true) < 0.6, np.median(z)
+
+
+def test_run_photo_z_sharded_hmc_adaptive_matches_in_device():
+    """VERDICT r2 Weak #4 / Next #9: the sharded ladder accepts the
+    ``hmc_adaptive`` inner (per-replica warmed step sizes threaded through
+    ``sharded_pt_kernel``) and stays numerically the same chain as the
+    in-device adaptive ladder."""
+    from celeste_tpu.parallel import make_mesh
+    from celeste_tpu.quasar.basis import QuasarBasis
+    from celeste_tpu.quasar.filters import sdss_like_filterbank
+    from celeste_tpu.quasar.photo_z import (
+        PhotoZConfig, run_photo_z, run_photo_z_sharded,
+    )
+    from celeste_tpu.quasar.photometry import project_to_bands
+
+    basis = QuasarBasis.default()
+    filters = sdss_like_filterbank(n_pts=64)
+    w_true = jnp.ones(basis.n_basis) / basis.n_basis
+    flux = project_to_bands(basis, filters, w_true, 1.0, 2.0)
+    err = 0.02 * jnp.abs(flux) + 1e-4
+    cfg = PhotoZConfig(n_temps=4, n_steps=25, n_warmup=5, n_systems=1,
+                       inner="hmc_adaptive", pt_warmup_steps=15)
+    mesh = make_mesh({"temps": 4})
+    r_in = run_photo_z(jax.random.key(7), basis, filters, flux, err, cfg)
+    r_sh = run_photo_z_sharded(jax.random.key(7), basis, filters, flux, err,
+                               mesh, cfg)
+    np.testing.assert_allclose(np.asarray(r_sh["vec"]),
+                               np.asarray(r_in["vec"]), rtol=2e-4, atol=2e-5)

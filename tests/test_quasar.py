@@ -169,3 +169,34 @@ def test_photo_z_batch_independent_targets(basis, filters):
     z_med = np.median(z, axis=1)
     assert abs(z_med[0] - z_true[0]) < 0.35, (z_med, z_true)
     assert abs(z_med[1] - z_true[1]) < 0.35, (z_med, z_true)
+
+
+def test_photo_z_batch_segmented_invariance(basis, filters):
+    """Segmented config-4 execution (VERDICT r2 Next #3): splitting the
+    sampling scan into bounded device calls must be INVISIBLE to the chain
+    — bitwise-identical samples for any segment_steps, because the
+    per-step key stream is pre-split once and segments scan slices."""
+    from celeste_tpu.quasar.photo_z import (
+        PhotoZConfig, run_photo_z_batch_segmented,
+    )
+
+    rng = np.random.default_rng(9)
+    flux, err = [], []
+    for z in (1.0, 2.8):
+        w = jnp.asarray([0.25, 0.25, 0.25, 0.25])
+        f = np.asarray(project_to_bands(basis, filters, w, 2.0, float(z)))
+        e = 0.03 * np.abs(f) + 1e-5
+        flux.append(f + rng.normal(size=f.shape) * e)
+        err.append(e)
+    flux, err = np.stack(flux), np.stack(err)
+    cfg = PhotoZConfig(n_temps=4, n_steps=24, n_warmup=6, n_systems=1,
+                       inner="hmc_adaptive", pt_warmup_steps=15)
+    k = jax.random.key(3)
+    o_mono = run_photo_z_batch_segmented(k, basis, filters, flux, err, cfg,
+                                         segment_steps=24)
+    o_seg = run_photo_z_batch_segmented(k, basis, filters, flux, err, cfg,
+                                        segment_steps=7)
+    np.testing.assert_array_equal(np.asarray(o_mono["vec"]),
+                                  np.asarray(o_seg["vec"]))
+    assert o_mono["z"].shape == (2, 1, 18)
+    assert np.isfinite(np.asarray(o_mono["z"])).all()
