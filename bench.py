@@ -80,6 +80,8 @@ RESULT = {
     "ess_per_sec_tiled_chees": None,
     "ess_vs_oracle_config5": None,
     "ess_vs_oracle_config5_chees": None,
+    "ess_per_sec_tiled_multiband_chees": None,
+    "tiled_multiband_parity_rel": None,
     "tiled_divergence_frac": None,
     "tiled_dense_parity": None,
     "tiled_dense_parity_rel": None,
@@ -393,6 +395,27 @@ def _bench_tiled_field():
     RESULT["tiled_field_evals_per_sec"] = rate
 
 
+def _bench_config5_multiband(n_chains=1024, n_warmup=60, warmup_window=30):
+    """Joint 3-band crowded config 5 (VERDICT r2 Next #8): same 12-source
+    mixed scene, per-band stamps + tile maps, D=68, 1024 chains, whitened
+    ChEES arm.  Optional stage — runs only if the budget allows."""
+    from celeste_tpu.bench.config5 import (
+        build_config5_multiband, config5_parity_gap,
+        config5_warmup_and_whiten, measure_chees_z,
+    )
+
+    logd, logd_dense, vec, _info = build_config5_multiband()
+    _, gap_rel = config5_parity_gap(logd, logd_dense, vec)
+    print(f"# config5 multiband parity rel {gap_rel:.2e}", file=sys.stderr)
+    prep = config5_warmup_and_whiten(logd, vec, n_chains=n_chains,
+                                     n_warmup=n_warmup,
+                                     warmup_window=warmup_window)
+    rate, _acc, _nl = measure_chees_z(prep, n_steps=192, run_segment=48,
+                                      warmup_iters=60, warmup_window=20)
+    RESULT["ess_per_sec_tiled_multiband_chees"] = rate
+    RESULT["tiled_multiband_parity_rel"] = gap_rel
+
+
 def _bench_pipeline_walltime():
     """End-to-end catalog pipeline wall time (pixels -> catalog, compiles
     included).  Sized for the bench budget: the pipeline is tuning, not
@@ -457,6 +480,7 @@ def main():
     _stage("photoz_batch", _bench_photoz_batch, est_s=90)
     _stage("tiled_field", _bench_tiled_field, est_s=35)
     _stage("pipeline", _bench_pipeline_walltime, est_s=110)
+    _stage("config5_multiband", _bench_config5_multiband, est_s=160)
     _emit()
 
 

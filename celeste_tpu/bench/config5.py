@@ -84,6 +84,70 @@ def build_config5(n_buckets: int = 2, impl: str = "jnp",
     return logd, logd_dense, vec, info
 
 
+def build_config5_multiband(bands=(1, 2, 3), n_buckets: int = 2,
+                            impl: str = "jnp"):
+    """Multi-band config 5 (VERDICT r2 Next #8): the SAME 12-source mixed
+    scene observed jointly in several bands (per-band stamps + tile maps;
+    ``make_tiled_crowded_logdensity`` takes the lists).  State gains one
+    log-flux per band: D = 10*(2+B) + 2*(6+B).  Returns
+    ``(logd_tiled, logd_dense, vec, info)`` like ``build_config5``."""
+    from celeste_tpu.data.synthetic import (
+        galaxy_source, make_synthetic_stamp, star_source,
+    )
+    from celeste_tpu.model.galaxy import block_support_radii
+    from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
+    from celeste_tpu.parallel.crowded import make_tiled_crowded_logdensity
+
+    rng = np.random.default_rng(11)
+    cosd = np.cos(np.deg2rad(10.0))
+    h, w = 48, 128
+    n_src = 12
+    nb = len(bands)
+    kinds = tuple("galaxy" if i in (3, 8) else "star" for i in range(n_src))
+    srcs = []
+    for i in range(n_src):
+        px_, py_ = rng.uniform(34, 94), rng.uniform(12, 36)
+        de, dn = (px_ - (w - 1) / 2) * 0.396, (py_ - (h - 1) / 2) * 0.396
+        u = (30 + de / 3600 / cosd, 10 + dn / 3600)
+        if kinds[i] == "star":
+            srcs.append(star_source(u=u, flux_r=20 + 10 * rng.random()))
+        else:
+            srcs.append(galaxy_source(u=u, flux_r=60.0, sigma=0.8, ab=0.6))
+    sd = make_synthetic_stamp(srcs, shape=(h, w), bands=bands, seed=55)
+    cs = CrowdedScene(kinds=kinds, n_bands=nb)
+    stamps = list(sd.stamps)
+    pos_px = np.stack([np.asarray(stamps[0].duas2pixel(jnp.asarray(
+        sd.wcs.equa2duas(s["u"]), jnp.float32))) for s in srcs])
+    psf_sig = float(np.sqrt(np.max(np.linalg.eigvalsh(
+        np.asarray(stamps[0].psf.cov)))))
+    radii = block_support_radii(kinds, psf_sigma_px=psf_sig,
+                                gal_sigma_px=1.5 * 0.8 / 0.396)
+    band_idx = list(range(nb))
+    logd, data = make_tiled_crowded_logdensity(cs, stamps, band=band_idx,
+                                               positions_px=pos_px,
+                                               radii_px=radii,
+                                               n_buckets=n_buckets,
+                                               impl=impl)
+    logd_dense = make_crowded_logdensity(cs, stamps, bands=band_idx)
+
+    parts = []
+    for s, kind in zip(srcs, kinds):
+        du = sd.wcs.equa2duas(s["u"])
+        logf = [np.log(s["flux"][b]) for b in bands]
+        if kind == "star":
+            parts.append(np.concatenate([du, logf]))
+        else:
+            th, ab = s["theta_dev"], s["ab"]
+            parts.append(np.concatenate(
+                [du, logf, [np.log(th / (1 - th)), np.log(s["sigma"]),
+                            np.log(ab / (1 - ab)), s["phi"]]]))
+    vec = jnp.asarray(np.concatenate(parts), jnp.float32)
+    info = {"scene": cs, "stamps": stamps, "positions_px": pos_px,
+            "tiled_data": data, "wcs": sd.wcs, "sources": srcs,
+            "bands": bands}
+    return logd, logd_dense, vec, info
+
+
 def config5_parity_gap(logd_tiled, logd_dense, vec, n_probe=8, spread=0.01,
                        seed=9):
     """Tiled vs dense log-posterior gap on perturbed states: returns

@@ -38,6 +38,11 @@ import jax.numpy as jnp
 from celeste_tpu.inference.vg import value_and_grad_of
 
 
+# energy-error threshold (nats) above which a proposal counts as diverged,
+# matching inference/nuts.py's _DIVERGENCE_THRESHOLD
+_DIVERGENCE_THRESHOLD = 1000.0
+
+
 def _halton(i, base=2):
     """Halton sequence term i (base 2), traced-friendly: 24-bit radical
     inverse via bit twiddling."""
@@ -104,7 +109,12 @@ def _ensemble_step(key, state: ChEESState, vg, inv_mass, eps, n_leap,
     x1, p1, logp1, g1 = jax.lax.fori_loop(
         0, n_leap, leap, (state.xs, p0, state.logps, state.grads))
     energy1 = -logp1 + 0.5 * jnp.sum(inv_mass[None, :] * p1 * p1, -1)
-    diverged = ~jnp.isfinite(energy1)
+    # divergence = non-finite OR large-but-finite energy error (same
+    # 1000-nat threshold as the NUTS path, so divergence diagnostics are
+    # comparable across samplers; a badly mistuned step size must not
+    # report divergence_rate 0 just because the energies stayed finite)
+    diverged = (~jnp.isfinite(energy1)
+                | (energy1 - energy0 > _DIVERGENCE_THRESHOLD))
     d_energy = jnp.where(diverged, -jnp.inf, energy0 - energy1)
     accept_prob = jnp.minimum(1.0, jnp.exp(d_energy))
     accept = jax.random.uniform(k_acc, (b,)) < accept_prob
@@ -209,6 +219,11 @@ def chees_warmup_window(key, logdensity_fn, carry, n_iters: int,
                                  adam_m=m, adam_v=v, adam_t=at)
         return (new, ad_new), acc
 
+    if not jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        raise TypeError(
+            "chees_warmup_window requires typed PRNG keys (jax.random.key); "
+            "a raw uint32 jax.random.PRNGKey has shape (2,) and is "
+            "indistinguishable from a pre-split key array here")
     keys = key if key.ndim == 1 else jax.random.split(key, n_iters)
     assert keys.shape[0] == n_iters
     (state, ad), _ = jax.lax.scan(step, (state0, adapt0), keys)

@@ -77,16 +77,24 @@ def fit_pseudo_prior(logdensity_fn, x0, n_map_steps: int = 400,
     x_map, _ = map_fit(logdensity_fn, jnp.asarray(x0), n_steps=n_map_steps)
     h = jax.hessian(logdensity_fn)(x_map)
     d = x_map.shape[0]
-    neg_h = -(h + h.T) / 2.0 + jitter * jnp.eye(d)
-    cov = jnp.linalg.inv(neg_h)
-    cov = (cov + cov.T) / 2.0 + jitter * jnp.eye(d)
+    neg_h = -(h + h.T) / 2.0
+    # eigenvalue floor (ADVICE r2): at a poorly converged or boundary MAP
+    # (e.g. galaxy model fit to a point source) the regularized negative
+    # Hessian can be indefinite — cholesky would silently return NaN and
+    # poison the whole type-switch run.  Clamping the spectrum keeps the
+    # pseudo-prior a proper Gaussian in every direction; the clamped
+    # directions just get wide (variance 1/jitter) instead of invalid.
+    evals, evecs = jnp.linalg.eigh(neg_h)
+    evals = jnp.maximum(evals, jitter)
+    cov = (evecs * (1.0 / evals)[None, :]) @ evecs.T
+    cov = (cov + cov.T) / 2.0
     chol = jnp.linalg.cholesky(cov)
     logdet_cov = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
     pseudo = GaussianPseudoPrior(mean=x_map, chol=chol,
                                  logdet_cov=logdet_cov)
-    # Laplace evidence from the same (pre-inversion-jitter) Hessian
-    sign, logdet_prec = jnp.linalg.slogdet(neg_h)
-    logdet_prec = jnp.where(sign > 0, logdet_prec, -jnp.inf)
+    # Laplace evidence from the same clamped spectrum (identical to the
+    # raw Hessian whenever it was already positive definite)
+    logdet_prec = jnp.sum(jnp.log(evals))
     evidence = (logdensity_fn(x_map) + 0.5 * d * jnp.log(2.0 * jnp.pi)
                 - 0.5 * logdet_prec)
     return pseudo, evidence
@@ -178,25 +186,20 @@ def run_type_switch(key, kernel, state: TypeSwitchState, n_steps: int):
     return a_tr, xs_tr, xg_tr, state, infos
 
 
-def sample_source_type(key, stamps, bands, x0_star, x0_gal, priors=None,
-                       n_bands: int = 5, prior_star: float = 0.5,
-                       n_chains: int = 8, n_steps: int = 400,
-                       n_warmup_frac: float = 0.25, n_map_steps: int = 400,
-                       step_scale: float = 0.5, n_leapfrog: int = 8):
-    """End-to-end: fit pseudo-priors, run a chain ensemble of the composite
-    sampler, return posterior P(star) with full parameter uncertainty.
+def sample_source_type_core(key, logd_s, logd_g, x0_star, x0_gal,
+                            prior_star: float = 0.5, n_chains: int = 8,
+                            n_steps: int = 400, n_warmup_frac: float = 0.25,
+                            n_map_steps: int = 400, step_scale: float = 0.5,
+                            n_leapfrog: int = 8):
+    """The Carlin-Chib run against EXPLICIT logdensities: fit pseudo-priors,
+    run a chain ensemble of the composite sampler, return posterior P(star)
+    with full parameter uncertainty.  Fully traceable (jit/vmap over
+    candidates — the pipeline's ambiguous-band pass vmaps this with
+    per-candidate effective skies as traced closure data).
 
     ``step_scale`` is the dimensionless HMC step in the Laplace-whitened
     metric (the inverse mass already carries the scales).
     """
-    from celeste_tpu.inference.problems import (
-        make_galaxy_logdensity, make_star_logdensity,
-    )
-
-    logd_s = make_star_logdensity(stamps, bands, priors=priors,
-                                  n_bands=n_bands)
-    logd_g = make_galaxy_logdensity(stamps, bands, priors=priors,
-                                    n_bands=n_bands)
     pseudo_s, _ = fit_pseudo_prior(logd_s, x0_star, n_map_steps=n_map_steps)
     pseudo_g, _ = fit_pseudo_prior(logd_g, x0_gal, n_map_steps=n_map_steps)
 
@@ -234,3 +237,25 @@ def sample_source_type(key, stamps, bands, x0_star, x0_gal, priors=None,
         "switch_rate": jnp.mean(jnp.abs(jnp.diff(a_tr, axis=1)).astype(
             jnp.float32)),
     }
+
+
+def sample_source_type(key, stamps, bands, x0_star, x0_gal, priors=None,
+                       n_bands: int = 5, prior_star: float = 0.5,
+                       n_chains: int = 8, n_steps: int = 400,
+                       n_warmup_frac: float = 0.25, n_map_steps: int = 400,
+                       step_scale: float = 0.5, n_leapfrog: int = 8):
+    """End-to-end convenience wrapper: build the unconditional star/galaxy
+    logdensities from stamps and run ``sample_source_type_core``."""
+    from celeste_tpu.inference.problems import (
+        make_galaxy_logdensity, make_star_logdensity,
+    )
+
+    logd_s = make_star_logdensity(stamps, bands, priors=priors,
+                                  n_bands=n_bands)
+    logd_g = make_galaxy_logdensity(stamps, bands, priors=priors,
+                                    n_bands=n_bands)
+    return sample_source_type_core(
+        key, logd_s, logd_g, x0_star, x0_gal, prior_star=prior_star,
+        n_chains=n_chains, n_steps=n_steps, n_warmup_frac=n_warmup_frac,
+        n_map_steps=n_map_steps, step_scale=step_scale,
+        n_leapfrog=n_leapfrog)

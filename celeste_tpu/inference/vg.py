@@ -65,6 +65,22 @@ def batch_aware_value_and_grad(logd_chain, logd_batch):
 
         @vg_conv.def_vmap
         def _vg_batched(axis_size, in_batched, x, *cs):  # noqa: ANN001
+            # Batched calls compute through logd_batch's OWN closure and
+            # ignore *cs.  That is correct when the consts are replicated
+            # (incl. lax.cond's batching rule promoting them to broadcast-
+            # batched alongside a batched x — indistinguishable here from
+            # genuinely batched data, documented limitation).  The case
+            # that IS cleanly detectable — consts batched while x is NOT
+            # (an outer vmap over per-chain closure data only) — would
+            # silently differentiate against the wrong data; fail loudly
+            # instead (ADVICE r2).
+            if not in_batched[0] and any(in_batched[1:]):
+                raise ValueError(
+                    "batch_aware_value_and_grad: the logdensity's closure "
+                    "constants are vmapped but x is not; gradients would "
+                    "be computed against the unbatched closure of "
+                    "logd_batch. Pass per-chain data as explicit sampler "
+                    "state instead of closing over a batched tracer.")
             if not in_batched[0]:
                 # x constant across the batch: one chain's vg (the consts'
                 # content is replicated whether or not they were promoted)

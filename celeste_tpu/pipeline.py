@@ -60,6 +60,21 @@ class PipelineConfig:
     galaxy_margin_nats: float = 10.0
     galaxy_sigma_min_arcsec: float = 0.4
     merge_sigma_factor: float = 1.5
+    # exact star/galaxy decision for AMBIGUOUS candidates (VERDICT r2 Next
+    # #4): when the final classify sweep's |Laplace margin| is inside
+    # galaxy_margin_nats, the margin+extendedness heuristic is a coin-toss
+    # zone — run the Carlin-Chib composite type sampler
+    # (inference/type_switch) on the candidate's CONDITIONAL posterior
+    # (other sources folded into the effective sky) and follow ITS
+    # asymptotically exact P(star).  Clear-cut candidates keep the cheap
+    # rule.
+    type_switch: bool = True
+    type_switch_chains: int = 8
+    type_switch_steps: int = 300
+    # posterior-predictive check stage (VERDICT r2 Next #5): score the
+    # observed stamp against replicates from the posterior (celeste_tpu.ppc)
+    ppc: bool = False
+    ppc_draws: int = 32
     n_chains: int = 32
     n_warmup: int = 250
     n_steps: int = 500
@@ -177,14 +192,9 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
             lams.append(_lam_from_planes(planes, pd[0], pd[1]))
         return x_map, lams
 
-    @jax.jit
-    def classify_sweep_batch(rects, flags, alive):
-        """One Jacobi classification sweep over ALL candidates at once.
-
-        rects [N, Dg] rectangular candidate states (stars padded),
-        flags/alive [N] bool.  Returns per-candidate star fit + evidence,
-        galaxy fit + evidence, and the source-free conditional evidence.
-        """
+    def _scene_effs(rects, flags, alive):
+        """Leave-one-out effective skies: per stamp, [N, PIX] arrays where
+        row i folds every OTHER alive candidate's lambda into the sky."""
         effs_per_stamp = []
         for pd, st, b in zip(pds, stamps, bands):
             lam_all = jax.vmap(lambda r, f: _lam_from_planes(
@@ -193,6 +203,17 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
             lam_alive = jnp.where(alive[:, None], lam_all, 0.0)
             total = jnp.sum(lam_alive, axis=0)                # [PIX]
             effs_per_stamp.append(pd[3][0][None, :] + total[None, :] - lam_alive)
+        return effs_per_stamp
+
+    @jax.jit
+    def classify_sweep_batch(rects, flags, alive):
+        """One Jacobi classification sweep over ALL candidates at once.
+
+        rects [N, Dg] rectangular candidate states (stars padded),
+        flags/alive [N] bool.  Returns per-candidate star fit + evidence,
+        galaxy fit + evidence, and the source-free conditional evidence.
+        """
+        effs_per_stamp = _scene_effs(rects, flags, alive)
 
         def per_cand(rect, *effs):
             xs, _ = map_fit(lambda x: _logd_s(x, effs), rect[:ds],
@@ -323,6 +344,60 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
                    p_star=[round(c["p"], 3) for c in cand if c["alive"]],
                    pruned=sum(not c["alive"] for c in cand))
 
+    # -- 2b. exact type decision for the ambiguous band --------------------
+    # |Laplace margin| < galaxy_margin_nats is exactly where the heuristic
+    # is unreliable; there the catalog follows the Carlin-Chib sampler's
+    # posterior P(star) (full parameter uncertainty, Occam factor included
+    # through the pseudo-prior construction) computed on the candidate's
+    # conditional posterior.  One jitted vmapped device call for all
+    # ambiguous candidates (no per-candidate compiles).
+    if cfg.classify and cfg.type_switch and cfg.classify_sweeps > 0:
+        from celeste_tpu.inference.type_switch import sample_source_type_core
+
+        amb_idx = [i for i, c in enumerate(cand)
+                   if c["alive"]
+                   and abs(float(lz_g_b[i]) - float(lz_s_b[i]))
+                   < cfg.galaxy_margin_nats]
+        if amb_idx:
+            rects = jnp.asarray(np.stack([_rect_of(c) for c in cand]))
+            flags = jnp.asarray([c["kind"] == "star" for c in cand])
+            alive_m = jnp.asarray([c["alive"] for c in cand])
+
+            @jax.jit
+            def type_switch_batch(keys, rects_amb, *effs_amb):
+                def per_cand(k, rect, *effs):
+                    ls = lambda x: _logd_s(x, effs)
+                    lg = lambda x: _logd_g(x, effs)
+                    out = sample_source_type_core(
+                        k, ls, lg, rect[:ds], rect,
+                        n_chains=cfg.type_switch_chains,
+                        n_steps=cfg.type_switch_steps,
+                        n_map_steps=cfg.map_steps)
+                    return (out["p_star"], out["switch_rate"],
+                            jnp.mean(out["x_star_samples"], axis=(0, 1)),
+                            jnp.mean(out["x_gal_samples"], axis=(0, 1)))
+                return jax.vmap(per_cand)(keys, rects_amb, *effs_amb)
+
+            effs_all = jax.jit(_scene_effs)(rects, flags, alive_m)
+            idxj = jnp.asarray(amb_idx)
+            keys_amb = jax.random.split(jax.random.fold_in(key, 77),
+                                        len(amb_idx))
+            p_star_b, sw_b, xs_mean, xg_mean = jax.tree_util.tree_map(
+                np.asarray, type_switch_batch(keys_amb, rects[idxj],
+                                              *[e[idxj] for e in effs_all]))
+            for j, i in enumerate(amb_idx):
+                ps = float(p_star_b[j])
+                ci = cand[i]
+                ci["p"] = ps
+                if ps < 0.5:
+                    ci["kind"], ci["x"] = "galaxy", np.asarray(xg_mean[j])
+                else:
+                    ci["kind"], ci["x"] = "star", np.asarray(xs_mean[j])
+            logger.log("type_switch", candidates=amb_idx,
+                       p_star=np.round(p_star_b, 3).tolist(),
+                       switch_rate=np.round(sw_b, 3).tolist(),
+                       kinds=[cand[i]["kind"] for i in amb_idx])
+
     alive = [c for c in cand if c["alive"]]
     kinds = [c["kind"] for c in alive]
     p_stars = [c["p"] for c in alive]
@@ -398,4 +473,28 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
         ))
     artifacts = {"samples": np.asarray(samples), "summary": summ,
                  "scene": scene, "n_sources": n_src}
+
+    # -- 5. posterior-predictive check (optional) --------------------------
+    # the reference validated by eyeballing model images against stamps;
+    # this is that check made quantitative (celeste_tpu.ppc): replicate
+    # counts from posterior draws, score the observed deviance against the
+    # replicate distribution per band.
+    if cfg.ppc:
+        from celeste_tpu.ppc import (
+            ppc_chi2_pvalue, ppc_lambda_draws, ppc_pixel_zscores,
+        )
+
+        ppc_out = []
+        for st, b in zip(stamps, bands):
+            lam = ppc_lambda_draws(scene, kept, st, band=b,
+                                   n_draws=cfg.ppc_draws, seed=cfg.seed)
+            counts = np.asarray(st.counts)
+            mask = np.asarray(st.mask, bool)
+            pv, _, _ = ppc_chi2_pvalue(lam, counts, mask=mask, seed=cfg.seed)
+            z = ppc_pixel_zscores(lam, counts)
+            worst = float(np.max(np.abs(np.where(mask, z, 0.0))))
+            ppc_out.append({"band": int(b), "pvalue": pv,
+                            "worst_pixel_z": worst})
+            logger.log("ppc", band=int(b), pvalue=pv, worst_pixel_z=worst)
+        artifacts["ppc"] = ppc_out
     return catalog, artifacts

@@ -125,3 +125,74 @@ def test_pipeline_compile_count_is_o1(mixed_field, caplog):
     n_det = sum("det_fit" in m for m in msgs)
     assert n_sweep == 1, f"classify compiled {n_sweep}x: {msgs}"
     assert n_det == 1, f"detection fit compiled {n_det}x"
+
+
+def _events(logger_buf):
+    import json
+
+    return [json.loads(line) for line in logger_buf.getvalue().splitlines()]
+
+
+def test_type_switch_overrides_heuristic_in_ambiguous_band():
+    """VERDICT r2 Next #4: a compact faint galaxy whose Laplace margin is
+    ~+3 nats sits in the ambiguous band — the margin+extendedness heuristic
+    calls it a STAR (margin < galaxy_margin_nats), while the Carlin-Chib
+    sampler's exact posterior P(star) says GALAXY.  The pipeline must
+    follow the sampler.  One run: the classify-sweep events record the
+    heuristic decision, the type_switch event records the override."""
+    import io
+
+    from celeste_tpu.utils.metrics import MetricsLogger
+
+    src = galaxy_source(u=(30.0, 10.0), flux_r=2.5, sigma=0.5, ab=0.8)
+    scene = make_synthetic_stamp([src], shape=(25, 25), bands=(2,), seed=21)
+    buf = io.StringIO()
+    cfg = PipelineConfig(max_sources=2, n_chains=8, n_warmup=30, n_steps=60,
+                         map_steps=250, seed=3, sampler="nuts", max_depth=5,
+                         type_switch=True, type_switch_steps=200,
+                         detection_snr_min=4.0)
+    catalog, _ = run_pipeline(scene.stamps[0], band=0, n_bands=1, cfg=cfg,
+                              priors=PRIORS, logger=MetricsLogger(stream=buf))
+    evs = _events(buf)
+    sweeps = [e for e in evs if e["event"] == "classify_sweep"]
+    ts = [e for e in evs if e["event"] == "type_switch"]
+    # the heuristic (final sweep, before override) called it a star
+    assert sweeps[-1]["kinds"] == ["star"], sweeps[-1]
+    # the ambiguous band triggered the exact sampler, which says galaxy...
+    assert len(ts) == 1, evs
+    assert ts[0]["p_star"][0] < 0.5, ts[0]
+    # ...and the catalog follows the sampler, not the heuristic
+    assert len(catalog) == 1
+    assert catalog[0].kind == "galaxy"
+    assert catalog[0].p_star < 0.5
+
+
+def test_ppc_pipeline_stage_calibrated_vs_missing_source():
+    """VERDICT r2 Next #5: cfg.ppc=True scores the observed stamp against
+    posterior replicates through the PIPELINE entry point.  A calibrated
+    scene (model captures all sources) passes; capping max_sources below
+    the true count leaves a source unmodeled and the p-value collapses."""
+    cosd = np.cos(np.deg2rad(10.0))
+    srcs = [
+        star_source(u=(30.0 - 3.0 / 3600 / cosd, 10.0 - 2.0 / 3600), flux_r=40.0),
+        star_source(u=(30.0 + 3.0 / 3600 / cosd, 10.0 + 2.0 / 3600), flux_r=30.0),
+    ]
+    scene = make_synthetic_stamp(srcs, shape=(29, 29), bands=(2,), seed=31)
+    base = dict(n_chains=8, n_warmup=30, n_steps=60, map_steps=200, seed=3,
+                sampler="nuts", max_depth=5, classify=False, ppc=True,
+                ppc_draws=16, detection_min_separation=5)
+    cfg_ok = PipelineConfig(max_sources=3, **base)
+    _, art_ok = run_pipeline(scene.stamps[0], band=0, n_bands=1, cfg=cfg_ok,
+                             priors=PRIORS)
+    assert art_ok["n_sources"] == 2
+    p_ok = art_ok["ppc"][0]["pvalue"]
+    assert 0.01 < p_ok < 0.99, art_ok["ppc"]
+
+    cfg_miss = PipelineConfig(max_sources=1, **base)
+    _, art_miss = run_pipeline(scene.stamps[0], band=0, n_bands=1,
+                               cfg=cfg_miss, priors=PRIORS)
+    assert art_miss["n_sources"] == 1
+    p_miss = art_miss["ppc"][0]["pvalue"]
+    assert p_miss < 0.01, art_miss["ppc"]
+    # the unmodeled source shows up as an extreme pixel z-score
+    assert art_miss["ppc"][0]["worst_pixel_z"] > art_ok["ppc"][0]["worst_pixel_z"]

@@ -171,3 +171,58 @@ def test_chees_ess_estimate_matches_replicate_variance():
     # chi^2_{23} noise on var_emp gives ~30% std on ess_emp; gate at 2.5x
     assert np.all(ratio > 0.4) and np.all(ratio < 2.5), (
         ratio, ess_claim, ess_emp)
+
+
+def test_nuts_ess_estimate_matches_replicate_variance():
+    """VERDICT r2 Weak #3 / Next #7: the same replicate-variance harness as
+    the ChEES gate, for NUTS — the other sampler whose ESS/sec headlines
+    rest on the FFT estimator.  R independent NUTS replicates started from
+    exact target draws: var over replicates of the posterior-mean estimate
+    is sigma_d^2 / ESS_true; the claimed ESS must agree within estimator
+    noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from celeste_tpu.inference import nuts_kernel, run_chains_ensemble
+    from celeste_tpu.inference.diagnostics import ess
+    from celeste_tpu.inference.hmc import hmc_init
+
+    cov = np.array([[2.0, 0.9, -0.4], [0.9, 1.0, 0.3], [-0.4, 0.3, 0.7]])
+    mean = np.array([1.0, -2.0, 0.5])
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+
+    def logdensity(x):
+        d = x - jnp.asarray(mean, jnp.float32)
+        return -0.5 * d @ prec @ d
+
+    n_chains, n_steps, n_rep = 32, 150, 24
+    chol = np.linalg.cholesky(cov)
+
+    def exact_draws(key, n):
+        z = jax.random.normal(key, (n, 3))
+        return jnp.asarray(mean, jnp.float32) + z @ jnp.asarray(
+            chol.T, jnp.float32)
+
+    kern = nuts_kernel(logdensity, step_size=0.5,
+                       inv_mass=jnp.asarray(np.diag(cov), jnp.float32),
+                       max_depth=5)
+
+    def one_replicate(key):
+        k_init, k_run = jax.random.split(key)
+        st = jax.vmap(lambda x: hmc_init(x, logdensity))(
+            exact_draws(k_init, n_chains))
+        samples, _, _ = run_chains_ensemble(k_run, kern, st, n_steps=n_steps)
+        return samples                      # [chains, steps, 3]
+
+    keys = jax.random.split(jax.random.key(5), n_rep)
+    all_samples = jax.vmap(one_replicate)(keys)     # [R, chains, steps, 3]
+
+    m_hat = np.asarray(jnp.mean(all_samples, axis=(1, 2)))   # [R, 3]
+    var_emp = m_hat.var(0, ddof=1)                           # [3]
+    ess_emp = np.diag(cov) / var_emp
+    ess_claim = np.stack([np.asarray(ess(all_samples[r]))
+                          for r in range(n_rep)]).mean(0)
+    ratio = ess_claim / ess_emp
+    # chi^2_{23} noise on var_emp gives ~30% std on ess_emp; gate at 2.5x
+    assert np.all(ratio > 0.4) and np.all(ratio < 2.5), (
+        ratio, ess_claim, ess_emp)
