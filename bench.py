@@ -32,6 +32,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache (verified working through the axon tunnel:
+# a 1.5 s compile replays in 0.05 s from a fresh process).  Compiles were
+# what ate the round-2 bench budget — the repo-local cache dir survives
+# across bench invocations on this VM, so a warmed cache turns the cold
+# ~200 s of config-5 compiles into seconds.  Harmless if the dir is wiped:
+# the budget manager + watchdog still guarantee a record.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 ORACLE_EVAL_RATE = 1.06e4        # evals/s, NumPy oracle, this VM (BASELINE.md)
 ORACLE_CROWDED_ESS_RATE = 6.0    # min ESS/sec, oracle slice, 6-star D=18 field
 # min ESS/sec, oracle slice sampler on the EXACT config-5 scene (12 mixed
@@ -162,8 +173,8 @@ def _bench_evals_per_sec():
         RESULT["vs_baseline"] = RESULT["value"] / ORACLE_EVAL_RATE
 
 
-def _bench_config5_tiled(n_chains=1024, n_steps=96, n_warmup=100,
-                         warmup_window=50, run_segment=16):
+def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=80,
+                         warmup_window=40, run_segment=16):
     """BASELINE config 5 AS WRITTEN: 12 overlapping sources (10 stars + 2
     galaxies), 1024 chains, block-sparse TILED likelihood, single chip.
 
@@ -475,8 +486,8 @@ def main():
     # VERDICT r2 Next #1), then the rest.  Estimates are measured r2 TPU
     # walls + headroom; the watchdog covers a wedged device call.
     _stage("evals", _bench_evals_per_sec, est_s=55)
-    _stage("config5_tiled", _bench_config5_tiled, est_s=230)
     _stage("crowded_ess", _bench_ess_per_sec, est_s=110)
+    _stage("config5_tiled", _bench_config5_tiled, est_s=200)
     _stage("photoz_batch", _bench_photoz_batch, est_s=90)
     _stage("tiled_field", _bench_tiled_field, est_s=35)
     _stage("pipeline", _bench_pipeline_walltime, est_s=110)

@@ -244,7 +244,7 @@ def config5_warmup_and_whiten(logd, vec, n_chains=1024, n_warmup=150,
     }
 
 
-def measure_nuts_z(prep, n_steps=96, run_segment=16, max_depth=5,
+def measure_nuts_z(prep, n_steps=64, run_segment=16, max_depth=5,
                    verbose=True):
     """Whitened-space NUTS arm on the prepared config-5 ensemble; returns
     (min ESS/sec, divergence fraction, mean tree depth).  max_depth 5:
@@ -289,7 +289,7 @@ def measure_nuts_z(prep, n_steps=96, run_segment=16, max_depth=5,
     return rate_min, div, depth
 
 
-def measure_chees_z(prep, n_steps=384, run_segment=48, warmup_iters=100,
+def measure_chees_z(prep, n_steps=240, run_segment=48, warmup_iters=60,
                     warmup_window=20, max_leapfrog=64, verbose=True):
     """Whitened-space ChEES-HMC arm: segmented ensemble warmup adapts
     (eps, T), then frozen-parameter jittered-HMC segments.  Returns

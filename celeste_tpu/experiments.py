@@ -49,6 +49,9 @@ class ExperimentConfig:
     color_prior: str = "gaussian"  # gaussian | gmm (empirical stellar-locus GMM)
     tiled: bool = False            # crowded_field: block-sparse tiled loglik
     n_galaxies: int = 0            # crowded_field: mixed star/galaxy scenes
+    # pipeline knobs
+    ppc: bool = False              # posterior-predictive check stage
+    type_switch: bool = True       # exact Carlin-Chib for ambiguous kinds
     # quasar
     n_temps: int = 8
     z_max: float = 6.0
@@ -279,7 +282,8 @@ def run_experiment(cfg: ExperimentConfig):
                                      seed=cfg.seed + 101)
         pcfg = PipelineConfig(n_chains=cfg.n_chains, n_warmup=cfg.n_warmup,
                               n_steps=cfg.n_steps, seed=cfg.seed,
-                              detection_min_separation=7)
+                              detection_min_separation=7, ppc=cfg.ppc,
+                              type_switch=cfg.type_switch)
         from celeste_tpu.model.priors import FluxPrior, SourcePriors
         catalog, artifacts = run_pipeline(
             scene.stamps[0], band=0, n_bands=1, cfg=pcfg,
@@ -293,6 +297,9 @@ def run_experiment(cfg: ExperimentConfig):
             "du_mean": np.stack([e.du_mean for e in catalog]) if catalog else np.zeros((0, 2)),
             "flux_mean": np.stack([e.flux_mean for e in catalog]) if catalog else np.zeros((0, 1)),
         }
+        if "ppc" in artifacts:
+            result["ppc_pvalue"] = np.asarray(
+                [p["pvalue"] for p in artifacts["ppc"]])
         if cfg.out:
             np.savez(cfg.out, **result)
         return result

@@ -200,3 +200,32 @@ def test_photo_z_batch_segmented_invariance(basis, filters):
                                   np.asarray(o_seg["vec"]))
     assert o_mono["z"].shape == (2, 1, 18)
     assert np.isfinite(np.asarray(o_mono["z"])).all()
+
+
+def test_photo_z_batch_size_invariance(basis, filters):
+    """Per-target keys are fold_in(key, target_index): a target's chain is
+    IDENTICAL whether it runs in a batch of 3 or 6 — batch size cannot
+    change per-target recovery by construction.  This is the diagnosis of
+    the r2 'recovery degrades with N' observation: composition + binomial
+    noise, not ladder under-mixing (BASELINE.md)."""
+    from celeste_tpu.quasar.photo_z import (
+        PhotoZConfig, run_photo_z_batch_segmented,
+    )
+
+    rng = np.random.default_rng(11)
+    flux, err = [], []
+    for z in (0.8, 1.9, 3.0, 1.4, 2.5, 3.6):
+        w = jnp.asarray([0.25, 0.25, 0.25, 0.25])
+        f = np.asarray(project_to_bands(basis, filters, w, 2.0, float(z)))
+        e = 0.03 * np.abs(f) + 1e-5
+        flux.append(f + rng.normal(size=f.shape) * e)
+        err.append(e)
+    flux, err = np.stack(flux), np.stack(err)
+    cfg = PhotoZConfig(n_temps=4, n_steps=20, n_warmup=5, n_systems=1,
+                       inner="hmc_adaptive", pt_warmup_steps=10)
+    k = jax.random.key(2)
+    o_big = run_photo_z_batch_segmented(k, basis, filters, flux, err, cfg)
+    o_sub = run_photo_z_batch_segmented(k, basis, filters, flux[:3], err[:3],
+                                        cfg)
+    np.testing.assert_array_equal(np.asarray(o_big["vec"])[:3],
+                                  np.asarray(o_sub["vec"]))
