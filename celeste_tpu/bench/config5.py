@@ -12,6 +12,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Optional wall-clock hook set by bench.py: a callable returning the
+# seconds remaining in the bench budget.  The segmented loops below check
+# it BETWEEN device calls and stop cleanly instead of letting the bench
+# watchdog hard-exit mid-call — a hard exit during an in-flight axon
+# execution wedges the tunnel for the NEXT process (measured; DESIGN.md §3).
+DEADLINE_FN = None
+
+
+def _remaining_budget(margin_s: float = 30.0) -> bool:
+    """True while there is budget to start another bounded device call."""
+    return DEADLINE_FN is None or DEADLINE_FN() > margin_s
+
 
 def build_config5(n_buckets: int = 2, impl: str = "jnp",
                   radii_scale: float = 1.0):
@@ -157,11 +169,22 @@ def config5_parity_gap(logd_tiled, logd_dense, vec, n_probe=8, spread=0.01,
     tile-truncation regression — dropped source/tile pairs, radii too
     small — shows up as gap_rel orders above that; fp32 rounding cannot).
     tests/test_tiled_field.py trips the gate with a deliberate radii cut."""
+    import sys
+    import time
+
     d = int(vec.shape[0])
     probe = vec[None, :] + spread * jax.random.normal(
         jax.random.key(seed), (n_probe, d))
-    lt = np.asarray(jax.vmap(logd_tiled)(probe))
-    ld = np.asarray(jax.vmap(logd_dense)(probe))
+    # jit matters doubly here: unjitted vmap dispatches op-by-op, and each
+    # dispatch rides the axon tunnel — measured 110 s (tiled) + 58 s
+    # (dense) for these 8 probes eager vs ~1 s jitted
+    t = time.time()
+    lt = np.asarray(jax.jit(jax.vmap(logd_tiled))(probe))
+    t_tiled = time.time() - t
+    t = time.time()
+    ld = np.asarray(jax.jit(jax.vmap(logd_dense))(probe))
+    print(f"# config5 parity probes: tiled {t_tiled:.0f}s, "
+          f"dense {time.time() - t:.0f}s", file=sys.stderr)
     gap_abs = float(np.max(np.abs(lt - ld)))
     gap_rel = gap_abs / float(np.max(np.abs(ld)))
     return gap_abs, gap_rel
@@ -169,7 +192,7 @@ def config5_parity_gap(logd_tiled, logd_dense, vec, n_probe=8, spread=0.01,
 
 def config5_warmup_and_whiten(logd, vec, n_chains=1024, n_warmup=150,
                               warmup_window=50, n_zwarm=30, probe_steps=16,
-                              verbose=True):
+                              init_step_size=0.1, verbose=True):
     """The shared config-5 preparation flow: segmented diagonal HMC warmup
     -> short NUTS probe -> pooled ensemble covariance -> whitened space ->
     short z-space dual-averaging.  Every sampler benchmarked on config 5
@@ -198,12 +221,19 @@ def config5_warmup_and_whiten(logd, vec, n_chains=1024, n_warmup=150,
                                                  (n_chains, d))
     chain_keys = jax.random.split(jax.random.key(3), n_chains)
     wkeys = jax.vmap(lambda k: jax.random.split(k, n_warmup))(chain_keys)
-    carry = jax.jit(jax.vmap(lambda x: hmc_warmup_init(x, logd)))(x0)
+    # init_step_size matters at short warmups: dual averaging spends its
+    # first ~50 iters recovering from divergences at a too-large start
+    # (measured: the 3-band scene's 60-iter warmup collapsed to eps=1e-4
+    # from the 0.1 default, 2026-08-17) — start near the expected scale
+    carry = jax.jit(jax.vmap(lambda x: hmc_warmup_init(
+        x, logd, init_step_size=init_step_size)))(x0)
     window = jax.jit(lambda ks, c: jax.vmap(
         lambda k, ci: hmc_warmup_window(k, logd, ci, n_warmup=n_warmup,
                                         n_leapfrog=8))(ks, c))
     t = time.time()
     for off in range(0, n_warmup, warmup_window):
+        if not _remaining_budget(60.0):
+            raise TimeoutError("config5 warmup out of bench budget")
         carry = window(wkeys[:, off:off + warmup_window], carry)
         jax.block_until_ready(carry)
     states, ss, im = jax.jit(jax.vmap(hmc_warmup_finish))(carry)
@@ -220,11 +250,14 @@ def config5_warmup_and_whiten(logd, vec, n_chains=1024, n_warmup=150,
                        max_depth=6)
     run = jax.jit(lambda k, s: run_chains_ensemble(k, kern, s,
                                                    n_steps=probe_steps))
+    t = time.time()
     s_probe, _, _ = run(jax.random.key(0), states)
     jax.block_until_ready(s_probe)
+    t_probe = time.time() - t
     m_hat, cov_hat = ensemble_covariance(s_probe, ridge=1e-4)
     logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
     z0 = to_z(states.x)
+    t = time.time()
     zcarry = jax.jit(jax.vmap(
         lambda z: hmc_warmup_init(z, logd_z, init_step_size=0.3)))(z0)
     zkeys = jax.vmap(lambda k: jax.random.split(k, n_zwarm))(
@@ -234,6 +267,9 @@ def config5_warmup_and_whiten(logd, vec, n_chains=1024, n_warmup=150,
                                         n_leapfrog=8))(ks, c))(zkeys, zcarry)
     states_z, ss_z, _ = jax.jit(jax.vmap(hmc_warmup_finish))(zcarry)
     step_z = float(jnp.median(ss_z))
+    if verbose:
+        print(f"# config5 probe {t_probe:.0f}s, z-warm "
+              f"{time.time() - t:.0f}s", file=sys.stderr)
     if verbose:
         print(f"# config5 dense-metric step_size={step_z:.3f}",
               file=sys.stderr)
@@ -267,14 +303,19 @@ def measure_nuts_z(prep, n_steps=64, run_segment=16, max_depth=5,
     seg_samples, infos = [], []
     cur = prep["states_z"]
     for i in range(n_steps // run_segment):
+        if seg_samples and not _remaining_budget(45.0):
+            print(f"# config5 NUTS(z): stopping early at segment {i} "
+                  "(bench budget)", file=sys.stderr)
+            break
         samples, cur, info = run_z(jax.random.fold_in(jax.random.key(2), i),
                                    cur)
         seg_samples.append(samples)
         infos.append(info)
     jax.block_until_ready(cur)
     dt = time.time() - t
+    n_done = len(seg_samples) * run_segment
     samples = prep["to_x"](jnp.concatenate(seg_samples, axis=1))
-    kept = samples[:, n_steps // 4:]
+    kept = samples[:, n_done // 4:]
     e = np.asarray(ess(kept))
     rate_min = float(e.min() / dt)
     div = float(np.mean([float(jnp.mean(i.diverged.astype(jnp.float32)))
@@ -315,6 +356,8 @@ def measure_chees_z(prep, n_steps=240, run_segment=48, warmup_iters=60,
         init_step_size=prep["step_z"], max_leapfrog=max_leapfrog))
     t = time.time()
     for off in range(0, warmup_iters, warmup_window):
+        if not _remaining_budget(60.0):
+            raise TimeoutError("config5 ChEES warmup out of bench budget")
         carry = window(wkeys[off:off + warmup_window], carry)
         jax.block_until_ready(carry)
     st_c, eps_c, traj_c = jax.jit(chees_warmup_finish)(carry)
@@ -332,14 +375,19 @@ def measure_chees_z(prep, n_steps=240, run_segment=48, warmup_iters=60,
     seg_samples, infos = [], []
     cur = st_c
     for i in range(n_steps // run_segment):
+        if seg_samples and not _remaining_budget(45.0):
+            print(f"# config5 ChEES(z): stopping early at segment {i} "
+                  "(bench budget)", file=sys.stderr)
+            break
         samples, cur, info = run(jax.random.fold_in(jax.random.key(12), i),
                                  cur, i * run_segment)
         seg_samples.append(samples)
         infos.append(info)
     jax.block_until_ready(cur)
     dt = time.time() - t
+    n_done = len(seg_samples) * run_segment
     samples = prep["to_x"](jnp.concatenate(seg_samples, axis=1))
-    kept = samples[:, n_steps // 4:]
+    kept = samples[:, n_done // 4:]
     e = np.asarray(ess(kept))
     rate_min = float(e.min() / dt)
     acc = float(np.mean([float(jnp.mean(i.accept_rate)) for i in infos]))

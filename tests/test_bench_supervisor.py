@@ -1,0 +1,51 @@
+"""The bench's parent/child supervisor contract (VERDICT r2 Missing #1):
+``python bench.py`` must ALWAYS exit 0 with exactly one JSON line on
+stdout — including when the child wedges inside a device call or a
+GIL-holding XLA compile, where a same-process watchdog thread provably
+cannot fire (measured 2026-08-17: a 3000 s-budget run blew through its
+watchdog inside a multiband compile and died on the outer ``timeout``).
+
+These run the REAL bench.py as a subprocess the way the driver does,
+on CPU with budgets tiny enough that every stage is skipped.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _run(extra_env, timeout=180):
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               **extra_env)
+    env.pop("CELESTE_BENCH_CHILD", None)
+    return subprocess.run([sys.executable, BENCH], env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+def test_normal_path_emits_one_parseable_line():
+    p = _run({"CELESTE_BENCH_STAGE_BUDGET_S": "1"})
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must carry exactly one line: {lines}"
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "single-stamp likelihood evals/sec/chip"
+    assert set(rec["stages_skipped"]) >= {"evals", "config5_tiled"}
+    assert rec["tunnel_init_s"] is not None
+    assert rec["bench_wall_s"] is not None
+
+
+def test_wedged_child_is_killed_and_partial_record_emitted():
+    p = _run({"CELESTE_BENCH_WEDGE": "1",
+              "CELESTE_BENCH_HARD_CAP_S": "8",
+              "CELESTE_BENCH_STAGE_BUDGET_S": "5"})
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    # the snapshot carries whatever completed before the wedge (here: init)
+    assert rec["tunnel_init_s"] is not None
+    assert "killing child" in p.stderr
