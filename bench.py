@@ -114,11 +114,16 @@ def _save_state():
 
 
 def _measure_init():
-    """Force backend init with a trivial device op; tighten the budget so
-    stages get STAGE_BUDGET_S regardless of how slow the tunnel came up."""
+    """Force FULL backend init and tighten the budget so stages get
+    STAGE_BUDGET_S regardless of how slow the tunnel came up.  A trivial
+    ``jnp.zeros`` is not enough: it reported 1 s while the first real
+    kernel execution then stalled 60-586 s (measured across four sessions
+    — device/pool bring-up happens lazily at the first substantive
+    program), so the probe runs an actual matmul round trip."""
     global BUDGET_S
     t = time.time()
-    jnp.zeros(()).block_until_ready()
+    x = jax.random.normal(jax.random.key(0), (512, 512), jnp.float32)
+    jnp.sum(x @ x).block_until_ready()
     init_s = time.time() - t
     RESULT["tunnel_init_s"] = round(init_s, 1)
     if not _ENV_BUDGET:
@@ -246,7 +251,9 @@ def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
     gap_abs, gap_rel = config5_parity_gap(logd, logd_dense, vec)
     RESULT["tiled_dense_parity"] = gap_abs
     RESULT["tiled_dense_parity_rel"] = gap_rel
-    RESULT["tiled_dense_parity_ok"] = bool(gap_rel < 1e-5)
+    # absolute-nats gate: the centered log-posterior is O(3e3), fp32 noise
+    # ~0.05 nats, truncation regressions >100 (config5_parity_gap)
+    RESULT["tiled_dense_parity_ok"] = bool(gap_abs < 1.0)
     print(f"# config5 tiled-dense parity {gap_abs:.3f} "
           f"(rel {gap_rel:.2e}, ok={RESULT['tiled_dense_parity_ok']})",
           file=sys.stderr)

@@ -72,12 +72,18 @@ def build_config5(n_buckets: int = 2, impl: str = "jnp",
     # impl="jnp": the sampler vmaps this per-chain logdensity; the tiled
     # jnp path (scan-VJP) batches cleanly under vmap while the pallas path
     # pays a sublane pad per chain (see make_tiled_crowded_logdensity)
+    # centered=True: saturated-model pixel centering keeps the summed
+    # log-posterior at O(chi^2/2) ~ 1e4 where fp32 resolves ~1e-3 nats —
+    # uncentered this scene sums to ~5.6e6 (resolution ~0.5 nats), and the
+    # 3-band variant to ~1.65e7 where HMC acceptance is rounding noise
+    # (likelihood._pixel; DESIGN.md §2)
     logd, data = make_tiled_crowded_logdensity(cs, stamp, band=0,
                                                positions_px=pos_px,
                                                radii_px=radii,
                                                n_buckets=n_buckets,
-                                               impl=impl)
-    logd_dense = make_crowded_logdensity(cs, [stamp], bands=[0])
+                                               impl=impl, centered=True)
+    logd_dense = make_crowded_logdensity(cs, [stamp], bands=[0],
+                                         centered=True)
 
     parts = []
     for s, kind in zip(srcs, kinds):
@@ -135,12 +141,15 @@ def build_config5_multiband(bands=(1, 2, 3), n_buckets: int = 2,
     radii = block_support_radii(kinds, psf_sigma_px=psf_sig,
                                 gal_sigma_px=1.5 * 0.8 / 0.396)
     band_idx = list(range(nb))
+    # centered=True is what makes this joint 3-band field SAMPLEABLE in
+    # fp32 at all (see build_config5 note / likelihood._pixel)
     logd, data = make_tiled_crowded_logdensity(cs, stamps, band=band_idx,
                                                positions_px=pos_px,
                                                radii_px=radii,
                                                n_buckets=n_buckets,
-                                               impl=impl)
-    logd_dense = make_crowded_logdensity(cs, stamps, bands=band_idx)
+                                               impl=impl, centered=True)
+    logd_dense = make_crowded_logdensity(cs, stamps, bands=band_idx,
+                                         centered=True)
 
     parts = []
     for s, kind in zip(srcs, kinds):
@@ -163,12 +172,14 @@ def build_config5_multiband(bands=(1, 2, 3), n_buckets: int = 2,
 def config5_parity_gap(logd_tiled, logd_dense, vec, n_probe=8, spread=0.01,
                        seed=9):
     """Tiled vs dense log-posterior gap on perturbed states: returns
-    ``(gap_abs, gap_rel)`` where ``gap_rel`` normalizes by the log-posterior
-    magnitude (~5.6e6 on this scene, so fp32 noise lands near 3e-7).  The
-    bench GATES on gap_rel < 1e-5 (VERDICT r2 Weak #2: a real
-    tile-truncation regression — dropped source/tile pairs, radii too
-    small — shows up as gap_rel orders above that; fp32 rounding cannot).
-    tests/test_tiled_field.py trips the gate with a deliberate radii cut."""
+    ``(gap_abs, gap_rel)``.  With the builders' centered likelihood the
+    log-posterior magnitude is O(chi^2/2) ~ 3e3, so the meaningful yard-
+    stick is ABSOLUTE nats: fp32 summation-order noise lands near 0.05
+    (measured), while a real tile-truncation regression — dropped
+    source/tile pairs, radii too small — costs hundreds to thousands of
+    nats (a 5% radii cut measured ~7800).  The bench GATES on
+    gap_abs < 1.0 (VERDICT r2 Weak #2); tests/test_tiled_field.py trips
+    the gate with a deliberate radii cut."""
     import sys
     import time
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from celeste_tpu.likelihood.poisson import LAMBDA_MIN
+from celeste_tpu.likelihood._pixel import pixel_loglik
 
 LANE = 128
 # b_tile sweep on v5e (scripts/tpu_session2.py, B=65536 star):
@@ -79,7 +79,7 @@ def stamp_pixel_data(stamp):
 
 def _loglik_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
                    px_ref, py_ref, counts_ref, sky_ref, mask_ref, out_ref,
-                   *, n_comp: int):
+                   *, n_comp: int, centered: bool):
     px = px_ref[0:1, :]
     py = py_ref[0:1, :]
     b_t = amp_ref.shape[0]
@@ -96,8 +96,7 @@ def _loglik_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
         dy = py - my_ref[:, c:c + 1]
         arg = log_amp + nha * dx * dx + nhb * dx * dy + nhc * dy * dy
         lam = lam + jnp.exp(arg)
-    lam = jnp.maximum(lam, LAMBDA_MIN)
-    ll = (counts_ref[0:1, :] * jnp.log(lam) - lam) * mask_ref[0:1, :]
+    ll = pixel_loglik(lam, counts_ref[0:1, :], centered) * mask_ref[0:1, :]
     out_ref[:, 0] = jnp.sum(ll, axis=1)
 
 
@@ -120,16 +119,18 @@ def _render_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
 # jnp reference (also the autodiff path)
 # ---------------------------------------------------------------------------
 
-def _loglik_jnp(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask):
+def _loglik_jnp(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask,
+                centered: bool = False):
     """Identical math to the kernel, dense jnp: [B, C] params, [1, P] pixels
     -> [B] logliks.  Used for the custom-vjp backward and as the CPU/debug
-    fallback."""
+    fallback.  The backward may stay UNCENTERED regardless of the forward's
+    flag: centering adds per-pixel terms independent of the parameters, so
+    the VJP is identical."""
     dx = px[:, None, :] - mx[..., None]          # [B, C, P] via broadcast
     dy = py[:, None, :] - my[..., None]
     quad = pa[..., None] * dx * dx + 2.0 * pb[..., None] * dx * dy + pc[..., None] * dy * dy
     lam = sky + jnp.sum(amp[..., None] * jnp.exp(-0.5 * quad), axis=1)
-    lam = jnp.maximum(lam, LAMBDA_MIN)
-    ll = (counts * jnp.log(lam) - lam) * mask
+    ll = pixel_loglik(lam, counts, centered) * mask
     return jnp.sum(ll, axis=-1)
 
 
@@ -138,7 +139,7 @@ def _loglik_jnp(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask):
 # ---------------------------------------------------------------------------
 
 def _loglik_pallas_raw(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask,
-                       b_tile: int, interpret: bool):
+                       b_tile: int, interpret: bool, centered: bool = False):
     b, c = amp.shape
     pix_pad = px.shape[1]
     b_pad = ((b + b_tile - 1) // b_tile) * b_tile
@@ -149,7 +150,7 @@ def _loglik_pallas_raw(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask,
     pixel_spec = pl.BlockSpec((1, pix_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_loglik_kernel, n_comp=c),
+        functools.partial(_loglik_kernel, n_comp=c, centered=centered),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
         grid=grid,
         in_specs=[param_spec] * 6 + [pixel_spec] * 5,
@@ -164,20 +165,23 @@ def _loglik_pallas_raw(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask,
     return out[:b, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def _loglik_custom(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask,
-                   b_tile, interpret):
+                   b_tile, interpret, centered):
     return _loglik_pallas_raw(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask,
-                              b_tile, interpret)
+                              b_tile, interpret, centered)
 
 
-def _loglik_fwd(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask, b_tile, interpret):
+def _loglik_fwd(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask, b_tile,
+                interpret, centered):
     out = _loglik_pallas_raw(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask,
-                             b_tile, interpret)
+                             b_tile, interpret, centered)
     return out, (amp, mx, my, pa, pb, pc, px, py, counts, sky, mask)
 
 
-def _loglik_bwd(b_tile, interpret, residuals, g):
+def _loglik_bwd(b_tile, interpret, centered, residuals, g):
+    # centering terms are parameter-independent: the uncentered VJP is the
+    # centered VJP, so the backward ignores the flag
     _, vjp = jax.vjp(_loglik_jnp, *residuals)
     return vjp(g)
 
@@ -187,7 +191,7 @@ _loglik_custom.defvjp(_loglik_fwd, _loglik_bwd)
 
 def mog_field_loglik(amp, mx, my, pa, pb, pc, pixel_data, *,
                      b_tile: int = DEFAULT_B_TILE, interpret: bool | None = None,
-                     impl: str = "pallas"):
+                     impl: str = "pallas", centered: bool = False):
     """Poisson log-likelihood of a batched MoG field.
 
     Parameters: [B, C] fp32 planes (amplitude WITH normalizer folded in:
@@ -201,11 +205,12 @@ def mog_field_loglik(amp, mx, my, pa, pb, pc, pixel_data, *,
     """
     px, py, counts, sky, mask = pixel_data
     if impl == "jnp":
-        return _loglik_jnp(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask)
+        return _loglik_jnp(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask,
+                           centered)
     if interpret is None:
         interpret = _interpret_default()
     return _loglik_custom(amp, mx, my, pa, pb, pc, px, py, counts, sky, mask,
-                          b_tile, interpret)
+                          b_tile, interpret, centered)
 
 
 def mog_field_render(amp, mx, my, pa, pb, pc, pixel_data, *,

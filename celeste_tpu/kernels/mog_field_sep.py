@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from celeste_tpu.likelihood.poisson import LAMBDA_MIN
+from celeste_tpu.likelihood._pixel import LAMBDA_MIN, pixel_loglik
 
 LANE = 128
 DEFAULT_B_TILE = 256

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from celeste_tpu.likelihood.poisson import LAMBDA_MIN
+from celeste_tpu.likelihood._pixel import LAMBDA_MIN, pixel_loglik
 from celeste_tpu.parallel.tiles import PIX_PER_TILE, TileMap, tile_field_arrays, tile_pixel_coords
 
 DEFAULT_B_TILE = 128
@@ -57,7 +57,7 @@ def _pad_axis(x, n, axis, value=0.0):
 def _tiled_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,  # [1, B_t, S_MAX*C]
                   px_ref, py_ref, counts_ref, sky_ref, mask_ref,    # [1, 1, PIX]
                   out_ref,                   # [1, 1, B_t]
-                  *, n_comp: int, s_max: int):
+                  *, n_comp: int, s_max: int, centered: bool):
     """All indexing is STATIC: the tile's source parameters were gathered
     into tile-major planes by XLA before the call (Mosaic cannot prove
     alignment of data-dependent lane offsets, so in-kernel gathers by
@@ -77,14 +77,14 @@ def _tiled_kernel(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,  # [1, B_t, S
                - pb_ref[0][:, k:k + 1] * dx * dy
                - 0.5 * pc_ref[0][:, k:k + 1] * dy * dy)
         lam = lam + jnp.exp(arg)
-    lam = jnp.maximum(lam, LAMBDA_MIN)
-    ll = (counts_ref[0] * jnp.log(lam) - lam) * mask_ref[0]
+    ll = pixel_loglik(lam, counts_ref[0], centered) * mask_ref[0]
     out_ref[0, 0, :] = jnp.sum(ll, axis=1)
 
 
 def _tiled_kernel_with_lam(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
                            px_ref, py_ref, counts_ref, sky_ref, mask_ref,
-                           out_ref, lam_ref, *, n_comp: int, s_max: int):
+                           out_ref, lam_ref, *, n_comp: int, s_max: int,
+                           centered: bool):
     """Forward used under autodiff: same as ``_tiled_kernel`` but ALSO emits
     the pre-clamp lambda tile (incl. sky) [1, B_t, PIX] as the residual the
     Pallas backward consumes (saves one full slot-loop recompute there)."""
@@ -101,8 +101,7 @@ def _tiled_kernel_with_lam(amp_ref, mx_ref, my_ref, pa_ref, pb_ref, pc_ref,
                - 0.5 * pc_ref[0][:, k:k + 1] * dy * dy)
         lam = lam + jnp.exp(arg)
     lam_ref[0] = lam
-    lam = jnp.maximum(lam, LAMBDA_MIN)
-    ll = (counts_ref[0] * jnp.log(lam) - lam) * mask_ref[0]
+    ll = pixel_loglik(lam, counts_ref[0], centered) * mask_ref[0]
     out_ref[0, 0, :] = jnp.sum(ll, axis=1)
 
 
@@ -275,7 +274,7 @@ def _tlc_bwd(n_comp, residuals, g):
 _tile_lambda_chains_scan.defvjp(_tlc_fwd, _tlc_bwd)
 
 
-def _tiled_jnp(planes, tile_src, pixel_tiles, n_comp):
+def _tiled_jnp(planes, tile_src, pixel_tiles, n_comp, centered=False):
     """Dense jnp mirror with the SAME tile truncation (backward path and
     CPU check).  planes: 6 x [B, (S+1)*C]; tile_src [T, S_MAX];
     pixel_tiles: 5 x [T, PIX]."""
@@ -283,8 +282,8 @@ def _tiled_jnp(planes, tile_src, pixel_tiles, n_comp):
 
     def tile_ll(t_idx, t_px, t_py, t_counts, t_sky, t_mask):
         lam = t_sky + _tile_lambda_chains(planes, t_idx, t_px, t_py, n_comp)
-        lam = jnp.maximum(lam, LAMBDA_MIN)
-        return jnp.sum((t_counts * jnp.log(lam) - lam) * t_mask, axis=-1)
+        return jnp.sum(pixel_loglik(lam, t_counts, centered) * t_mask,
+                       axis=-1)
 
     per_tile = jax.vmap(tile_ll)(tile_src, px, py, counts, sky, mask)  # [T, B]
     return jnp.sum(per_tile, axis=0)
@@ -344,7 +343,8 @@ def _gather_tile_planes(planes, tile_src, n_comp):
     return out
 
 
-def _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpret):
+def _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile,
+                      interpret, centered=False):
     amp = planes[0]
     b = amp.shape[0]
     t = tile_src.shape[0]
@@ -369,7 +369,8 @@ def _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, inte
     pixel_spec = pl.BlockSpec((1, 1, pix), lambda ti, bi: (ti, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_tiled_kernel, n_comp=n_comp, s_max=s_max),
+        functools.partial(_tiled_kernel, n_comp=n_comp, s_max=s_max,
+                          centered=centered),
         out_shape=jax.ShapeDtypeStruct((t, 1, b_pad), jnp.float32),
         grid=grid,
         in_specs=[param_spec] * 6 + [pixel_spec] * 5,
@@ -386,7 +387,7 @@ def _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, inte
 
 
 def _tiled_pallas_fwd_lam(planes, tile_src, pixel_tiles, n_comp, s_max,
-                          b_tile, interpret):
+                          b_tile, interpret, centered=False):
     """Forward emitting (loglik [B], lam tiles [T, B_pad, PIX]) — the
     autodiff path; mirrors ``_tiled_pallas_raw``'s layout."""
     amp = planes[0]
@@ -405,7 +406,8 @@ def _tiled_pallas_fwd_lam(planes, tile_src, pixel_tiles, n_comp, s_max,
     pixel_spec = pl.BlockSpec((1, 1, pix), lambda ti, bi: (ti, 0, 0),
                               memory_space=pltpu.VMEM)
     out, lam = pl.pallas_call(
-        functools.partial(_tiled_kernel_with_lam, n_comp=n_comp, s_max=s_max),
+        functools.partial(_tiled_kernel_with_lam, n_comp=n_comp, s_max=s_max,
+                          centered=centered),
         out_shape=(jax.ShapeDtypeStruct((t, 1, b_pad), jnp.float32),
                    jax.ShapeDtypeStruct((t, b_pad, pix), jnp.float32)),
         grid=grid,
@@ -468,20 +470,22 @@ def _tiled_bwd_pallas(planes, tile_src, pixel_tiles, lam, g, n_comp, s_max,
     return tuple(d_planes)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _tiled_custom(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _tiled_custom(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile,
+                  interpret, centered):
     return _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max,
-                             b_tile, interpret)
+                             b_tile, interpret, centered)
 
 
-def _tiled_fwd(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile, interpret):
+def _tiled_fwd(planes, tile_src, pixel_tiles, n_comp, s_max, b_tile,
+               interpret, centered):
     if interpret:
         # CPU/debug: plain forward; backward falls back to the jnp mirror
         out = _tiled_pallas_raw(planes, tile_src, pixel_tiles, n_comp, s_max,
-                                b_tile, interpret)
+                                b_tile, interpret, centered)
         return out, (planes, tile_src, pixel_tiles, None)
     out, lam = _tiled_pallas_fwd_lam(planes, tile_src, pixel_tiles, n_comp,
-                                     s_max, b_tile, interpret)
+                                     s_max, b_tile, interpret, centered)
     return out, (planes, tile_src, pixel_tiles, lam)
 
 
@@ -495,7 +499,9 @@ def _bwd_chain_chunk(b: int, s_max: int, n_comp: int, pix: int) -> int:
     return max(d for d in range(1, target + 1) if b % d == 0)
 
 
-def _tiled_bwd(n_comp, s_max, b_tile, interpret, residuals, g):
+def _tiled_bwd(n_comp, s_max, b_tile, interpret, centered, residuals, g):
+    # centering terms are parameter-independent: the uncentered VJP IS the
+    # centered VJP, so both backward paths ignore the flag
     planes, tile_src, pixel_tiles, lam = residuals
     import numpy as np
 
@@ -534,7 +540,7 @@ _tiled_custom.defvjp(_tiled_fwd, _tiled_bwd)
 
 def tiled_field_loglik(planes, data: TiledStampData, *, n_comp: int,
                        b_tile: int = DEFAULT_B_TILE, interpret: bool | None = None,
-                       impl: str = "pallas"):
+                       impl: str = "pallas", centered: bool = False):
     """Poisson loglik of a batched multi-source field with block-sparse
     tiling.
 
@@ -544,7 +550,8 @@ def tiled_field_loglik(planes, data: TiledStampData, *, n_comp: int,
     """
     tm = data.tile_map
     if impl == "jnp":
-        return _tiled_jnp(planes, data.tile_src, data.pixels, n_comp)
+        return _tiled_jnp(planes, data.tile_src, data.pixels, n_comp,
+                          centered)
     if interpret is None:
         interpret = _interpret_default()
     out = 0.0
@@ -552,7 +559,8 @@ def tiled_field_loglik(planes, data: TiledStampData, *, n_comp: int,
         tile_src_b = data.tile_src[sel][:, :s_cap]
         pixels_b = tuple(p[sel] for p in data.pixels)
         out = out + _tiled_custom(tuple(planes), tile_src_b, pixels_b,
-                                  n_comp, int(s_cap), b_tile, interpret)
+                                  n_comp, int(s_cap), b_tile, interpret,
+                                  centered)
     return out
 
 

@@ -34,7 +34,7 @@ from celeste_tpu.kernels.mog_field import (
     mog_field_loglik,
     stamp_pixel_data,
 )
-from celeste_tpu.likelihood.poisson import LAMBDA_MIN
+from celeste_tpu.likelihood._pixel import pixel_loglik
 from celeste_tpu.model.params import GalaxyParams, StarParams
 from celeste_tpu.model.priors import SourcePriors
 
@@ -128,9 +128,15 @@ def scene_field_planes(scene: CrowdedScene, vec, stamp, band):
 
 
 def make_crowded_logdensity(scene: CrowdedScene, stamps: Sequence, bands: Sequence[int],
-                            priors: SourcePriors | None = None):
+                            priors: SourcePriors | None = None,
+                            centered: bool = False):
     """Single-chip joint log density over the flat [D_total] vector, running
-    the whole scene through the fused kernel path (or jnp off-TPU)."""
+    the whole scene through the fused kernel path (or jnp off-TPU).
+
+    ``centered=True`` computes every pixel term relative to the saturated
+    model (same posterior/gradients; ~1000x smaller fp32 magnitude — the
+    difference between HMC energy errors being resolvable or rounding
+    noise on multi-band fields; ``likelihood._pixel``)."""
     priors = priors or SourcePriors()
     stamps = list(stamps)
     bands = list(bands)
@@ -141,7 +147,8 @@ def make_crowded_logdensity(scene: CrowdedScene, stamps: Sequence, bands: Sequen
         for stamp, band, pd in zip(stamps, bands, pixel_data):
             planes = scene_field_planes(scene, vec, stamp, band)
             planes_b = tuple(p[None, :] for p in planes)
-            ll = ll + mog_field_loglik(*planes_b, pd, impl="jnp")[0]
+            ll = ll + mog_field_loglik(*planes_b, pd, impl="jnp",
+                                       centered=centered)[0]
         blocks, _ = scene.block_slices()
         for (off, d, kind), params in zip(blocks, scene.unpack(vec)):
             v = jax.lax.dynamic_slice_in_dim(vec, off, d, axis=-1)
@@ -160,7 +167,8 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
                                   positions_px, radii_px=12.0,
                                   priors: SourcePriors | None = None,
                                   s_max: int | None = None,
-                                  n_buckets: int = 2, impl: str = "pallas"):
+                                  n_buckets: int = 2, impl: str = "pallas",
+                                  centered: bool = False):
     """Joint log density over the flat [D_total] vector using the
     block-sparse tiled kernel (SURVEY.md §5.7) — the production path for
     large fields where dense S x P evaluation is quadratic waste.
@@ -171,6 +179,12 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
     for multi-band joint inference (one tile map per band).
     Returns ``(logdensity(vec), data)`` with ``data`` the first band's
     TiledStampData (or the list for multi-band).
+
+    ``centered=True`` evaluates every pixel term relative to the saturated
+    model (identical posterior/gradients, ~1000x smaller fp32 magnitude).
+    REQUIRED in practice for multi-band joint fields: uncentered, the
+    3-band config-5 log-posterior is ~1.65e7 where fp32 resolves only ~2
+    nats, so HMC acceptance is rounding noise (``likelihood._pixel``).
     """
     from celeste_tpu.kernels.tiled_field import (
         TiledStampData,
@@ -245,7 +259,7 @@ def make_tiled_crowded_logdensity(scene: CrowdedScene, stamp, band,
         for st, b, data in zip(stamps, bands, datas):
             planes = planes_fn(scene, vecs, st, b)
             ll = ll + tiled_field_loglik(planes, data, n_comp=n_comp,
-                                         impl=ll_impl)
+                                         impl=ll_impl, centered=centered)
         return ll + jax.vmap(_prior_part)(vecs)
 
     def logdensity(vec):
@@ -306,7 +320,8 @@ def crowded_rect_logprior(scene: CrowdedScene, vecs,
 
 
 def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
-                           *, n_bands: int | None = None):
+                           *, n_bands: int | None = None,
+                           centered: bool = False):
     """Build the cross-chip likelihood: chains sharded over ``chains``,
     sources over ``sources``; per-device partial lambdas ``psum``'d over the
     source axis before the Poisson reduction.
@@ -362,8 +377,7 @@ def sharded_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
     def sharded_ll(vecs, flags):
         lam_part = local_lambda(vecs, flags, stamp, (px, py))   # [B_loc, PIX]
         lam = jax.lax.psum(lam_part, axis_name="sources") + sky
-        lam = jnp.maximum(lam, LAMBDA_MIN)
-        ll = (counts * jnp.log(lam) - lam) * mask
+        ll = pixel_loglik(lam, counts, centered) * mask
         return jnp.sum(ll, axis=-1)
 
     return lambda vecs: sharded_ll(vecs, is_star)
@@ -373,7 +387,8 @@ def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
                                  positions_px, radii_px=12.0,
                                  *, n_bands: int | None = None,
                                  n_buckets: int = 1, impl: str = "pallas",
-                                 chain_chunk: int | None = None):
+                                 chain_chunk: int | None = None,
+                                 centered: bool = False):
     """The full composition (SURVEY.md §5.7 + §5.8): block-sparse TILING x
     source sharding x chain sharding.
 
@@ -506,8 +521,8 @@ def sharded_tiled_crowded_loglik(scene: CrowdedScene, stamp, band, mesh: Mesh,
                 lam_full = lam_full.at[idx].add(lam_b)
             lam_part = lam_full[:n_tiles]
             lam = jax.lax.psum(lam_part, axis_name="sources") + sky_t[:, None, :]
-            lam = jnp.maximum(lam, LAMBDA_MIN)
-            ll = (counts_t[:, None, :] * jnp.log(lam) - lam) * mask_t[:, None, :]
+            ll = pixel_loglik(lam, counts_t[:, None, :],
+                              centered) * mask_t[:, None, :]
             return jnp.sum(ll, axis=(0, 2))                      # [B_c]
 
         # chunk the chain axis: the [T, B, PIX] lambda tiles must cross ICI

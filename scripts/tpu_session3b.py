@@ -124,7 +124,7 @@ def main():
         pixel_spec = pl.BlockSpec((1, pixp), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            functools.partial(_loglik_kernel, n_comp=c),
+            functools.partial(_loglik_kernel, n_comp=c, centered=False),
             out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
             grid=grid,
             in_specs=[param_spec] * 6 + [pixel_spec] * 5,

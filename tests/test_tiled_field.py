@@ -247,7 +247,8 @@ def test_per_block_support_radii():
 def test_per_block_radii_tiled_parity():
     """Mixed-scene tiled loglik with per-block radii still matches the
     dense path at fp32 tolerance (truncation error is below the fp32
-    noise of the ~1e6-scale loglik)."""
+    summation noise; the centered log-posterior is O(3e3) so the bound is
+    absolute nats)."""
     import numpy as np
 
     import jax
@@ -259,7 +260,7 @@ def test_per_block_radii_tiled_parity():
                                                     (4, vec.shape[0]))
     lt = np.asarray(jax.vmap(logd)(probe))
     ld = np.asarray(jax.vmap(logd_dense)(probe))
-    assert np.max(np.abs(lt - ld) / np.abs(ld)) < 1e-6
+    assert np.max(np.abs(lt - ld)) < 1.0
 
 
 def test_pallas_backward_kernel_parity():
@@ -357,7 +358,7 @@ def test_pallas_render_backward_kernel_parity():
 
 def test_config5_parity_gate_and_radii_cut():
     """VERDICT r2 Weak #2 / Next #6: the tiled<->dense parity gap is a
-    GATED relative bound, and a deliberate tile-truncation regression
+    GATED absolute-nats bound, and a deliberate tile-truncation regression
     (support radii cut) trips it.  Also splits truncation bias from fp32
     rounding: enlarging the radii 1.5x must not move the gap (the standard
     radii already capture the mass; the residual is rounding — numbers
@@ -366,21 +367,21 @@ def test_config5_parity_gate_and_radii_cut():
 
     logd, logd_dense, vec, _ = build_config5()
     gap_abs, gap_rel = config5_parity_gap(logd, logd_dense, vec)
-    assert gap_rel < 1e-5, (gap_abs, gap_rel)
+    assert gap_abs < 1.0, (gap_abs, gap_rel)
 
     # deliberate regression: radii cut to 5% (sub-tile support — the 8x128
     # tile granularity absorbs moderate cuts, so only a cut below the tile
     # scale drops (source, tile) pairs) -> dropped flux, gate trips
     logd_cut, _, _, _ = build_config5(radii_scale=0.05)
-    _, gap_rel_cut = config5_parity_gap(logd_cut, logd_dense, vec)
-    assert gap_rel_cut > 1e-5, gap_rel_cut
-    assert gap_rel_cut > 10 * gap_rel
+    gap_abs_cut, _ = config5_parity_gap(logd_cut, logd_dense, vec)
+    assert gap_abs_cut > 100.0, gap_abs_cut
+    assert gap_abs_cut > 100 * gap_abs
 
     # enlarged radii: gap unchanged at the rounding floor -> the standard
     # radii carry no measurable truncation bias
     logd_big, _, _, _ = build_config5(radii_scale=1.5)
-    _, gap_rel_big = config5_parity_gap(logd_big, logd_dense, vec)
-    assert gap_rel_big < 1e-5, gap_rel_big
+    gap_abs_big, _ = config5_parity_gap(logd_big, logd_dense, vec)
+    assert gap_abs_big < 1.0, gap_abs_big
 
 
 def test_config5_multiband_tiled_parity_and_sampling():
@@ -395,8 +396,8 @@ def test_config5_multiband_tiled_parity_and_sampling():
 
     logd, logd_dense, vec, info = build_config5_multiband()
     assert int(vec.shape[0]) == 10 * 5 + 2 * 9
-    _, gap_rel = config5_parity_gap(logd, logd_dense, vec)
-    assert gap_rel < 1e-5, gap_rel
+    gap_abs, _ = config5_parity_gap(logd, logd_dense, vec)
+    assert gap_abs < 1.0, gap_abs
 
     b = 1024
     xs0 = vec[None, :] + 0.003 * jax.random.normal(
