@@ -124,6 +124,21 @@ def _measure_init():
     t = time.time()
     x = jax.random.normal(jax.random.key(0), (512, 512), jnp.float32)
     jnp.sum(x @ x).block_until_ready()
+    # the XLA matmul alone still missed a ~290 s stall that then hit the
+    # first PALLAS execution (bring-up is per-program-type through the
+    # tunnel) — probe a tiny fused-kernel call too
+    try:
+        from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
+        from celeste_tpu.kernels import batched_stamp_loglik
+
+        src = star_source(u=(30.0001, 9.9999), flux_r=25.0)
+        st = make_synthetic_stamp([src], shape=(25, 25), bands=(2,),
+                                  seed=3).stamps[0]
+        v = jnp.zeros((8, 7), jnp.float32)
+        batched_stamp_loglik(v, st, band=2, kind="star",
+                             impl="pallas").block_until_ready()
+    except Exception as e:  # noqa: BLE001 — probe only; evals stage retries
+        print(f"# init pallas probe failed: {str(e)[:200]}", file=sys.stderr)
     init_s = time.time() - t
     RESULT["tunnel_init_s"] = round(init_s, 1)
     if not _ENV_BUDGET:
