@@ -126,8 +126,12 @@ def _measure_init():
     jnp.sum(x @ x).block_until_ready()
     # the XLA matmul alone still missed a ~290 s stall that then hit the
     # first PALLAS execution (bring-up is per-program-type through the
-    # tunnel) — probe a tiny fused-kernel call too
+    # tunnel) — probe a tiny fused-kernel call too.  TPU only: on CPU the
+    # kernel runs in interpret mode (minutes of tracing) and there is no
+    # tunnel to bring up.
     try:
+        if jax.default_backend() != "tpu":
+            raise RuntimeError("non-tpu backend: pallas probe skipped")
         from celeste_tpu.data.synthetic import make_synthetic_stamp, star_source
         from celeste_tpu.kernels import batched_stamp_loglik
 
