@@ -581,6 +581,7 @@ def child_main():
 def parent_main():
     """Thin supervisor: owns stdout and the deadline; never imports jax.
     Always prints exactly one JSON line and exits 0."""
+    import signal
     import subprocess
 
     try:
@@ -592,6 +593,29 @@ def parent_main():
     # child stdout -> our stderr so no stray print can pollute the record
     child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
                              env=env, stdout=sys.stderr.fileno())
+
+    def _emit_snapshot_and_exit(signum, frame):  # noqa: ANN001
+        # the driver wraps the bench in ``timeout``, which delivers SIGTERM
+        # before SIGKILL: if its window is ever shorter than our deadline,
+        # print the last completed snapshot as THE line before dying so the
+        # round's record is the bench's own JSON even on rc=124
+        result = dict(RESULT)
+        try:
+            with open(STATE_PATH) as fh:
+                result.update(json.load(fh))
+        except Exception:  # noqa: BLE001 — state not written yet
+            pass
+        result["bench_wall_s"] = round(_elapsed(), 1)
+        sys.stdout.write(json.dumps(result) + "\n")
+        sys.stdout.flush()
+        try:
+            child.kill()
+        except Exception:  # noqa: BLE001
+            pass
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_snapshot_and_exit)
+    signal.signal(signal.SIGINT, _emit_snapshot_and_exit)
     grace = 30.0
     killed = False
     while True:

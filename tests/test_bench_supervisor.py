@@ -38,6 +38,40 @@ def test_normal_path_emits_one_parseable_line():
     assert rec["bench_wall_s"] is not None
 
 
+def test_sigterm_emits_snapshot_before_dying():
+    """The driver wraps the bench in ``timeout`` (SIGTERM then SIGKILL): if
+    its window is ever shorter than the bench deadline, the parent must
+    still print the snapshot as the one stdout line."""
+    import time
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               CELESTE_BENCH_WEDGE="1", CELESTE_BENCH_HARD_CAP_S="600",
+               CELESTE_BENCH_STAGE_BUDGET_S="500")
+    env.pop("CELESTE_BENCH_CHILD", None)
+    p = subprocess.Popen([sys.executable, BENCH], env=env, cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    state = os.path.join(REPO, f".bench_state.{p.pid}.json")
+    try:
+        # wait for init to land in the state file, then deliver the TERM
+        deadline = time.time() + 120
+        while time.time() < deadline and not os.path.exists(state):
+            time.sleep(0.5)
+        assert os.path.exists(state), "child never wrote its state file"
+        p.terminate()
+        out, err = p.communicate(timeout=60)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.communicate()
+    assert p.returncode == 0, err[-2000:]
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must carry exactly one line: {lines}"
+    rec = json.loads(lines[0])
+    assert rec["tunnel_init_s"] is not None
+    assert rec["bench_wall_s"] is not None
+
+
 def test_wedged_child_is_killed_and_partial_record_emitted():
     p = _run({"CELESTE_BENCH_WEDGE": "1",
               "CELESTE_BENCH_HARD_CAP_S": "8",
