@@ -280,9 +280,7 @@ def config5_warmup_and_whiten(logd, vec, n_chains=1024, n_warmup=150,
     step_z = float(jnp.median(ss_z))
     if verbose:
         print(f"# config5 probe {t_probe:.0f}s, z-warm "
-              f"{time.time() - t:.0f}s", file=sys.stderr)
-    if verbose:
-        print(f"# config5 dense-metric step_size={step_z:.3f}",
+              f"{time.time() - t:.0f}s; dense-metric step_size={step_z:.3f}",
               file=sys.stderr)
     return {
         "d": d, "logd_z": logd_z, "to_x": to_x, "to_z": to_z,
@@ -320,9 +318,13 @@ def measure_nuts_z(prep, n_steps=64, run_segment=16, max_depth=5,
             break
         samples, cur, info = run_z(jax.random.fold_in(jax.random.key(2), i),
                                    cur)
+        # block per segment: dispatch is async, so without this the whole
+        # loop enqueues in milliseconds and the budget check above never
+        # fires mid-run (review r3) — the sync costs only host enqueue
+        # overlap, the segments are serial on-chip anyway
+        jax.block_until_ready(cur)
         seg_samples.append(samples)
         infos.append(info)
-    jax.block_until_ready(cur)
     dt = time.time() - t
     n_done = len(seg_samples) * run_segment
     samples = prep["to_x"](jnp.concatenate(seg_samples, axis=1))
@@ -392,9 +394,9 @@ def measure_chees_z(prep, n_steps=240, run_segment=48, warmup_iters=60,
             break
         samples, cur, info = run(jax.random.fold_in(jax.random.key(12), i),
                                  cur, i * run_segment)
+        jax.block_until_ready(cur)   # sync so the budget check can fire
         seg_samples.append(samples)
         infos.append(info)
-    jax.block_until_ready(cur)
     dt = time.time() - t
     n_done = len(seg_samples) * run_segment
     samples = prep["to_x"](jnp.concatenate(seg_samples, axis=1))

@@ -228,12 +228,29 @@ def sample_source_type_core(key, logd_s, logd_g, x0_star, x0_gal,
     # Rao-Blackwellized P(star): average the CONDITIONAL probabilities
     # (lower variance than the 0/1 indicator mean)
     p_star = jnp.mean(infos.p_star_cond[:, burn:])
+
+    # conditional-posterior means: x_star is a genuine posterior draw only
+    # while the chain occupies the star model (a==0); in the other model it
+    # is a pseudo-prior (Laplace) refresh.  An unmasked mean would mix the
+    # two and bias state estimates toward the Laplace mean on skewed
+    # posteriors, so mask by the indicator (fall back to the unmasked mean
+    # if a chain never visits a model — then only the pseudo-prior draws
+    # exist, and they are at least MAP-centered).
+    a_kept_f = a_kept.astype(jnp.float32)          # 1 = galaxy model
+    def _cond_mean(x, w):
+        den = jnp.sum(w)
+        num = jnp.sum(x * w[:, :, None], axis=(0, 1))
+        return jnp.where(den > 0, num / jnp.maximum(den, 1.0),
+                         jnp.mean(x, axis=(0, 1)))
+    xs_kept, xg_kept = xs_tr[:, burn:], xg_tr[:, burn:]
     return {
         "p_star": p_star,
-        "p_star_indicator": 1.0 - jnp.mean(a_kept.astype(jnp.float32)),
+        "p_star_indicator": 1.0 - jnp.mean(a_kept_f),
         "a_trace": a_tr,
-        "x_star_samples": xs_tr[:, burn:],
-        "x_gal_samples": xg_tr[:, burn:],
+        "x_star_samples": xs_kept,
+        "x_gal_samples": xg_kept,
+        "x_star_mean": _cond_mean(xs_kept, 1.0 - a_kept_f),
+        "x_gal_mean": _cond_mean(xg_kept, a_kept_f),
         "switch_rate": jnp.mean(jnp.abs(jnp.diff(a_tr, axis=1)).astype(
             jnp.float32)),
     }

@@ -299,7 +299,8 @@ def mixed_field_planes(vec, stamp, band, n_bands: int, is_star):
 
 
 def batched_stamp_loglik(vecs, stamp, band=0, kind: str = "star", n_bands: int = 5,
-                         impl: str = "pallas", pixel_data=None):
+                         impl: str = "pallas", pixel_data=None,
+                         centered: bool = False):
     """Fused likelihood for a [B, D] batch of unconstrained source vectors
     against one stamp.  The [B, C] parameter preparation is vmapped jnp
     (tiny); the [B, PIX] work runs in the Pallas kernel.  Differentiable
@@ -326,11 +327,13 @@ def batched_stamp_loglik(vecs, stamp, band=0, kind: str = "star", n_bands: int =
         if isotropic:
             planes = jax.vmap(
                 lambda v: star_planes_isotropic(v, stamp, band, n_bands))(vecs)
-            return mog_field_loglik_isotropic(*planes, stamp_pixel_data_2d(stamp))
+            return mog_field_loglik_isotropic(*planes,
+                                              stamp_pixel_data_2d(stamp),
+                                              centered=centered)
         impl = "pallas"  # non-isotropic PSF: fall through to general
     if impl == "pallas_general":
         impl = "pallas"
     planes = jax.vmap(lambda v: _field_planes(v, stamp, band, kind, n_bands))(vecs)
     if pixel_data is None:
         pixel_data = stamp_pixel_data(stamp)
-    return mog_field_loglik(*planes, pixel_data, impl=impl)
+    return mog_field_loglik(*planes, pixel_data, impl=impl, centered=centered)

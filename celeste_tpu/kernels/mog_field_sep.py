@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from celeste_tpu.likelihood._pixel import LAMBDA_MIN, pixel_loglik
+from celeste_tpu.likelihood._pixel import pixel_loglik
 
 LANE = 128
 DEFAULT_B_TILE = 256
@@ -70,7 +70,7 @@ def stamp_pixel_data_2d(stamp):
 
 def _sep_loglik_kernel(amp_ref, cx_ref, cy_ref, iv_ref,
                        xs_ref, ys_ref, counts_ref, sky_ref, mask_ref, out_ref,
-                       *, n_comp: int, h: int):
+                       *, n_comp: int, h: int, centered: bool):
     """amp/cx/cy/iv: [B_t, C]; xs [1, W_pad]; ys [1, H_pad];
     counts/sky/mask [H, W_pad]; out [B_t, 1].
 
@@ -94,13 +94,14 @@ def _sep_loglik_kernel(amp_ref, cx_ref, cy_ref, iv_ref,
         lam = jnp.broadcast_to(sky_ref[hi:hi + 1, :], rows[0].shape).astype(jnp.float32)
         for c in range(n_comp):
             lam = lam + cols[c][:, hi:hi + 1] * rows[c]
-        lam = jnp.maximum(lam, LAMBDA_MIN)
-        ll = (counts_ref[hi:hi + 1, :] * jnp.log(lam) - lam) * mask_ref[hi:hi + 1, :]
+        ll = pixel_loglik(lam, counts_ref[hi:hi + 1, :], centered) \
+            * mask_ref[hi:hi + 1, :]
         acc = acc + jnp.sum(ll, axis=1, keepdims=True)
     out_ref[:, :] = acc
 
 
-def _sep_loglik_jnp(amp, cx, cy, iv, xs, ys, counts, sky, mask):
+def _sep_loglik_jnp(amp, cx, cy, iv, xs, ys, counts, sky, mask,
+                    centered: bool = False):
     """Dense jnp mirror of the separable kernel (autodiff backward +
     CPU check path).  [B, C] params -> [B] logliks."""
     h = counts.shape[0]
@@ -112,12 +113,12 @@ def _sep_loglik_jnp(amp, cx, cy, iv, xs, ys, counts, sky, mask):
     # lambda[b, h, w] = sky + sum_c cols[b, c, h] * rows[b, c, w]
     lam = sky[None] + jnp.einsum("bch,bcw->bhw", cols, rows,
                                  precision=jax.lax.Precision.HIGHEST)
-    lam = jnp.maximum(lam, LAMBDA_MIN)
-    ll = (counts[None] * jnp.log(lam) - lam) * mask[None]
+    ll = pixel_loglik(lam, counts[None], centered) * mask[None]
     return jnp.sum(ll, axis=(1, 2))
 
 
-def _sep_pallas_raw(amp, cx, cy, iv, pixel_data, b_tile: int, interpret: bool):
+def _sep_pallas_raw(amp, cx, cy, iv, pixel_data, b_tile: int, interpret: bool,
+                    centered: bool = False):
     xs, ys, counts, sky, mask = pixel_data
     b, c = amp.shape
     h = counts.shape[0]
@@ -131,7 +132,8 @@ def _sep_pallas_raw(amp, cx, cy, iv, pixel_data, b_tile: int, interpret: bool):
     vec_h = pl.BlockSpec((1, h_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     img_spec = pl.BlockSpec((h, w_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_sep_loglik_kernel, n_comp=c, h=h),
+        functools.partial(_sep_loglik_kernel, n_comp=c, h=h,
+                          centered=centered),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
         grid=grid,
         in_specs=[param_spec] * 4 + [vec_w, vec_h, img_spec, img_spec, img_spec],
@@ -146,17 +148,22 @@ def _sep_pallas_raw(amp, cx, cy, iv, pixel_data, b_tile: int, interpret: bool):
     return out[:b, 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _sep_custom(amp, cx, cy, iv, pixel_data, b_tile, interpret):
-    return _sep_pallas_raw(amp, cx, cy, iv, pixel_data, b_tile, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _sep_custom(amp, cx, cy, iv, pixel_data, b_tile, interpret, centered):
+    return _sep_pallas_raw(amp, cx, cy, iv, pixel_data, b_tile, interpret,
+                           centered)
 
 
-def _sep_fwd(amp, cx, cy, iv, pixel_data, b_tile, interpret):
-    out = _sep_pallas_raw(amp, cx, cy, iv, pixel_data, b_tile, interpret)
+def _sep_fwd(amp, cx, cy, iv, pixel_data, b_tile, interpret, centered):
+    out = _sep_pallas_raw(amp, cx, cy, iv, pixel_data, b_tile, interpret,
+                          centered)
     return out, (amp, cx, cy, iv, pixel_data)
 
 
-def _sep_bwd(b_tile, interpret, residuals, g):
+def _sep_bwd(b_tile, interpret, centered, residuals, g):
+    # the centering terms are parameter-independent, so the uncentered VJP
+    # IS the centered VJP — the backward ignores the flag (same convention
+    # as mog_field._loglik_bwd)
     amp, cx, cy, iv, pixel_data = residuals
     xs, ys, counts, sky, mask = pixel_data
 
@@ -176,19 +183,23 @@ _sep_custom.defvjp(_sep_fwd, _sep_bwd)
 def mog_field_loglik_isotropic(amp, cx, cy, inv_var, pixel_data, *,
                                b_tile: int = DEFAULT_B_TILE,
                                interpret: bool | None = None,
-                               impl: str = "pallas"):
+                               impl: str = "pallas",
+                               centered: bool = False):
     """Poisson loglik for a batched ISOTROPIC MoG field.
 
     amp [B, C] must carry the normalizer: ``weight * inv_var / (2 pi)``;
     cx/cy [B, C] pixel centers; inv_var [B, C] = 1/variance.
     ``pixel_data`` from :func:`stamp_pixel_data_2d`.  Returns [B].
+    ``centered``: saturated-model centering (likelihood/_pixel.py).
     """
     xs, ys, counts, sky, mask = pixel_data
     if impl == "jnp":
-        return _sep_loglik_jnp(amp, cx, cy, inv_var, xs, ys, counts, sky, mask)
+        return _sep_loglik_jnp(amp, cx, cy, inv_var, xs, ys, counts, sky,
+                               mask, centered)
     if interpret is None:
         interpret = _interpret_default()
-    return _sep_custom(amp, cx, cy, inv_var, pixel_data, b_tile, interpret)
+    return _sep_custom(amp, cx, cy, inv_var, pixel_data, b_tile, interpret,
+                       centered)
 
 
 def star_planes_isotropic(vec, stamp, band, n_bands: int):

@@ -374,8 +374,7 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
                         n_steps=cfg.type_switch_steps,
                         n_map_steps=cfg.map_steps)
                     return (out["p_star"], out["switch_rate"],
-                            jnp.mean(out["x_star_samples"], axis=(0, 1)),
-                            jnp.mean(out["x_gal_samples"], axis=(0, 1)))
+                            out["x_star_mean"], out["x_gal_mean"])
                 return jax.vmap(per_cand)(keys, rects_amb, *effs_amb)
 
             effs_all = jax.jit(_scene_effs)(rects, flags, alive_m)
@@ -389,13 +388,23 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
                 ps = float(p_star_b[j])
                 ci = cand[i]
                 ci["p"] = ps
-                if ps < 0.5:
+                # the sampler's P(star) replaces the sigmoid-of-Laplace, but
+                # the EXTENDEDNESS discriminator stays: the two-model
+                # evidence comparison cannot see that a "galaxy" whose
+                # posterior sigma is far below the PSF is a point source
+                # absorbing blend residuals (same failure the heuristic
+                # guards against — dropping the guard here flipped true
+                # stars to quasi-point galaxies at p_star < 0.01).
+                sigma_mean = float(np.exp(xg_mean[j][3 + n_bands]))
+                if ps < 0.5 and sigma_mean > cfg.galaxy_sigma_min_arcsec:
                     ci["kind"], ci["x"] = "galaxy", np.asarray(xg_mean[j])
                 else:
                     ci["kind"], ci["x"] = "star", np.asarray(xs_mean[j])
             logger.log("type_switch", candidates=amb_idx,
                        p_star=np.round(p_star_b, 3).tolist(),
                        switch_rate=np.round(sw_b, 3).tolist(),
+                       sigma_mean=[round(float(np.exp(x[3 + n_bands])), 3)
+                                   for x in xg_mean],
                        kinds=[cand[i]["kind"] for i in amb_idx])
 
     alive = [c for c in cand if c["alive"]]

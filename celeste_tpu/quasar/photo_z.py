@@ -15,6 +15,7 @@ tempered ladder — vmapped, with even/odd ``ppermute``-style swaps
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 import jax
@@ -181,7 +182,8 @@ def run_photo_z_batch(key, basis: QuasarBasis, filters: FilterBank,
 def run_photo_z_batch_segmented(key, basis: QuasarBasis, filters: FilterBank,
                                 flux_obs, flux_err,
                                 cfg: PhotoZConfig = PhotoZConfig(),
-                                segment_steps: int = 100):
+                                segment_steps: int = 100,
+                                deadline_fn=None):
     """``run_photo_z_batch`` with SEGMENTED execution: the sampling scan is
     split into bounded device calls of ``segment_steps`` PT steps each,
     carrying the tempering state across calls — the config-5 pattern
@@ -193,7 +195,15 @@ def run_photo_z_batch_segmented(key, basis: QuasarBasis, filters: FilterBank,
     each segment scans over its slice — segment boundaries are invisible
     to the chains: any ``segment_steps`` yields bitwise-identical samples
     (tests/test_quasar.py pins this).  Warmup (``hmc_adaptive``) is its own
-    bounded call.  Returns the ``run_photo_z_batch`` dict.
+    bounded call.  Returns the ``run_photo_z_batch`` dict plus
+    ``n_steps_done`` and a ``timings`` sub-dict (init vs steady-state
+    segment seconds, so callers can report compile-free throughput).
+
+    ``deadline_fn`` (optional, () -> bool): consulted BETWEEN segments
+    (the loop blocks per segment, so wall-clock genuinely advances); when
+    it returns False the run stops early with the segments completed so
+    far — a bench budget hook, never changing the samples that were drawn.
+    At least one sampling segment always runs.
     """
     flux_obs = jnp.asarray(flux_obs, jnp.float32)
     flux_err = jnp.asarray(flux_err, jnp.float32)
@@ -252,8 +262,10 @@ def run_photo_z_batch_segmented(key, basis: QuasarBasis, filters: FilterBank,
             jax.vmap(lambda i: jax.random.fold_in(kw, i))(target_ids),
             flux_obs, flux_err, init_vecs)
 
+    t0 = time.time()
     state, ss, im = init_all(k_warm)
     jax.block_until_ready(state)
+    init_s = time.time() - t0
 
     # ONE pre-split per-step key stream [N, S, n_steps]; segments scan
     # consecutive slices (the chees_warmup_window composition pattern)
@@ -281,22 +293,35 @@ def run_photo_z_batch_segmented(key, basis: QuasarBasis, filters: FilterBank,
                                     keys_seg)
 
     cold_parts, swap_parts, act_parts = [], [], []
+    seg_times = []
     for off in range(0, cfg.n_steps, segment_steps):
+        if cold_parts and deadline_fn is not None and not deadline_fn():
+            break
+        t0 = time.time()
         state, (cold, sw, ac) = segment(state, ss, im,
                                         step_keys[:, :, off:off + segment_steps])
         jax.block_until_ready(state)
+        seg_times.append(time.time() - t0)
         cold_parts.append(cold)
         swap_parts.append(sw)
         act_parts.append(ac)
-    cold_xs = jnp.concatenate(cold_parts, axis=2)   # [N, S, n_steps, D]
+    cold_xs = jnp.concatenate(cold_parts, axis=2)   # [N, S, n_done, D]
     swaps = jnp.concatenate(swap_parts, axis=2)
     active = jnp.concatenate(act_parts, axis=2)
-    kept = cold_xs[:, :, cfg.n_warmup:]
+    n_done = cold_xs.shape[2]
+    # if a deadline cut the run before the configured burn-in completed,
+    # keep at least the last quarter so downstream stats have samples
+    burn = cfg.n_warmup if n_done > cfg.n_warmup else (3 * n_done) // 4
+    kept = cold_xs[:, :, burn:]
     z, w, m = constrain(kept, k, cfg.z_max)
     return {
         "z": z, "w": w, "m": m, "vec": kept,
         "swap_rate": (jnp.sum(swaps.astype(jnp.float32))
                       / jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0)),
+        "n_steps_done": n_done,
+        # first segment carries the sampling-program compile; the rest are
+        # steady state — callers report compile-free throughput from these
+        "timings": {"init_s": init_s, "segment_s": seg_times},
     }
 
 

@@ -202,6 +202,39 @@ def test_photo_z_batch_segmented_invariance(basis, filters):
     assert np.isfinite(np.asarray(o_mono["z"])).all()
 
 
+def test_photo_z_batch_segmented_deadline_stop(basis, filters):
+    """A tripped deadline stops the segmented run cleanly BETWEEN segments:
+    at least one segment always runs, the partial samples are the bitwise
+    prefix of the full run's, and the timing/progress fields report what
+    actually happened (the bench's budget hook contract)."""
+    from celeste_tpu.quasar.photo_z import (
+        PhotoZConfig, run_photo_z_batch_segmented,
+    )
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray([0.25, 0.25, 0.25, 0.25])
+    f = np.asarray(project_to_bands(basis, filters, w, 2.0, 1.5))
+    e = 0.03 * np.abs(f) + 1e-5
+    flux = (f + rng.normal(size=f.shape) * e)[None]
+    err = e[None]
+    cfg = PhotoZConfig(n_temps=4, n_steps=21, n_warmup=3, n_systems=1,
+                       inner="hmc_adaptive", pt_warmup_steps=10)
+    k = jax.random.key(4)
+    o_full = run_photo_z_batch_segmented(k, basis, filters, flux, err, cfg,
+                                         segment_steps=7)
+    o_cut = run_photo_z_batch_segmented(k, basis, filters, flux, err, cfg,
+                                        segment_steps=7,
+                                        deadline_fn=lambda: False)
+    assert o_full["n_steps_done"] == 21
+    assert o_cut["n_steps_done"] == 7          # one segment, then the stop
+    assert len(o_cut["timings"]["segment_s"]) == 1
+    # the partial run is the PREFIX of the full run (pre-split key stream)
+    np.testing.assert_array_equal(
+        np.asarray(o_full["vec"])[:, :, :7 - cfg.n_warmup],
+        np.asarray(o_cut["vec"]))
+    assert np.isfinite(np.asarray(o_cut["z"])).all()
+
+
 def test_photo_z_batch_size_invariance(basis, filters):
     """Per-target keys are fold_in(key, target_index): a target's chain is
     IDENTICAL whether it runs in a batch of 3 or 6 — batch size cannot
