@@ -15,7 +15,12 @@ from celeste_tpu.quasar.basis import (  # noqa: F401
     synthetic_quasar_spectra,
     synthetic_template_basis,
 )
-from celeste_tpu.quasar.photometry import project_to_bands  # noqa: F401
+from celeste_tpu.quasar.photometry import (  # noqa: F401
+    BandMatrixGrid,
+    band_matrix_grid,
+    project_to_bands,
+    project_to_bands_grid,
+)
 from celeste_tpu.quasar.photo_z import (  # noqa: F401
     make_photo_z_logdensity,
     run_photo_z,

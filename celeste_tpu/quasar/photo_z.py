@@ -32,7 +32,12 @@ from celeste_tpu.inference.tempering import (
 )
 from celeste_tpu.quasar.basis import QuasarBasis
 from celeste_tpu.quasar.filters import FilterBank
-from celeste_tpu.quasar.photometry import project_to_bands
+from celeste_tpu.quasar.photometry import (
+    BandMatrixGrid,
+    band_matrix_grid,
+    project_to_bands,
+    project_to_bands_grid,
+)
 
 
 @dataclass(frozen=True)
@@ -54,6 +59,14 @@ class PhotoZConfig:
     hmc_step_size: float = 0.01
     hmc_n_leapfrog: int = 8
     pt_warmup_steps: int = 150   # hmc_adaptive only
+    # flux-projection implementation: >0 tabulates basis_band_matrix on
+    # this many uniform redshifts once per run and interpolates the table
+    # per eval (photometry.BandMatrixGrid — replaces the dominant per-eval
+    # template-grid gather); 0 recomputes the exact projection every eval.
+    # At 8192 the worst-case model-flux deviation from the exact projection
+    # is 3% of a 3%-photometry sigma (measured over 2048 random targets,
+    # default basis) — far below the likelihood's noise floor.
+    flux_grid_n: int = 8192
 
 
 def split_vec(vec, n_basis: int):
@@ -72,16 +85,29 @@ def constrain(vec, n_basis: int, z_max: float):
 
 
 def make_photo_z_logdensity(basis: QuasarBasis, filters: FilterBank,
-                            flux_obs, flux_err, cfg: PhotoZConfig = PhotoZConfig()):
-    """Unconstrained log posterior for one target's observed fluxes."""
+                            flux_obs, flux_err,
+                            cfg: PhotoZConfig = PhotoZConfig(),
+                            grid: BandMatrixGrid | None = None):
+    """Unconstrained log posterior for one target's observed fluxes.
+
+    ``grid``: a prebuilt :class:`BandMatrixGrid` (pass it when this factory
+    is invoked under trace, e.g. per-target inside a vmapped init — the
+    table build must stay eager/once); with ``grid=None`` and
+    ``cfg.flux_grid_n > 0`` the grid is built here.
+    """
     flux_obs = jnp.asarray(flux_obs, jnp.float32)
     flux_err = jnp.asarray(flux_err, jnp.float32)
     k = basis.n_basis
+    if grid is None and cfg.flux_grid_n > 0:
+        grid = band_matrix_grid(basis, filters, cfg.z_max, cfg.flux_grid_n)
 
     def logdensity(vec):
         zeta, eta, log_m = split_vec(vec, k)
         z, w, m = constrain(vec, k, cfg.z_max)
-        model = project_to_bands(basis, filters, w, m, z)
+        if grid is not None:
+            model = project_to_bands_grid(grid, w, m, z)
+        else:
+            model = project_to_bands(basis, filters, w, m, z)
         resid = (flux_obs - model) / flux_err
         ll = -0.5 * jnp.sum(resid * resid)
         # priors: z flat on (0, z_max) -> sigmoid Jacobian; eta Gaussian
@@ -95,7 +121,8 @@ def make_photo_z_logdensity(basis: QuasarBasis, filters: FilterBank,
 
 
 def run_photo_z(key, basis: QuasarBasis, filters: FilterBank, flux_obs, flux_err,
-                cfg: PhotoZConfig = PhotoZConfig()):
+                cfg: PhotoZConfig = PhotoZConfig(),
+                grid: BandMatrixGrid | None = None):
     """Tempered slice-sampling ensemble (the reference's sampler family).
 
     Returns dict with cold-chain samples of (z, w, m) and diagnostics.
@@ -103,7 +130,8 @@ def run_photo_z(key, basis: QuasarBasis, filters: FilterBank, flux_obs, flux_err
     """
     k = basis.n_basis
     d = k + 1
-    logd = make_photo_z_logdensity(basis, filters, flux_obs, flux_err, cfg)
+    logd = make_photo_z_logdensity(basis, filters, flux_obs, flux_err, cfg,
+                                   grid=grid)
 
     betas = geometric_ladder(cfg.n_temps, cfg.beta_min)
     if cfg.inner == "hmc":
@@ -172,9 +200,12 @@ def run_photo_z_batch(key, basis: QuasarBasis, filters: FilterBank,
     flux_err = jnp.asarray(flux_err, jnp.float32)
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
         jnp.arange(flux_obs.shape[0]))
+    # built once, eagerly — ``one`` runs under vmap tracing
+    grid = (band_matrix_grid(basis, filters, cfg.z_max, cfg.flux_grid_n)
+            if cfg.flux_grid_n > 0 else None)
 
     def one(k, fo, fe):
-        return run_photo_z(k, basis, filters, fo, fe, cfg)
+        return run_photo_z(k, basis, filters, fo, fe, cfg, grid=grid)
 
     return jax.vmap(one)(keys, flux_obs, flux_err)
 
@@ -216,8 +247,13 @@ def run_photo_z_batch_segmented(key, basis: QuasarBasis, filters: FilterBank,
         raise ValueError(f"unknown inner kernel {cfg.inner!r}; "
                          "use 'slice', 'hmc', or 'hmc_adaptive'")
 
+    # the grid build must stay OUT of the traced per-target closures below
+    grid = (band_matrix_grid(basis, filters, cfg.z_max, cfg.flux_grid_n)
+            if cfg.flux_grid_n > 0 else None)
+
     def _logd(fo, fe):
-        return make_photo_z_logdensity(basis, filters, fo, fe, cfg)
+        return make_photo_z_logdensity(basis, filters, fo, fe, cfg,
+                                       grid=grid)
 
     def _inner(logd, ss, im):
         if adaptive:

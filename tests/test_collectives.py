@@ -271,8 +271,18 @@ def test_run_photo_z_sharded_hmc_adaptive_matches_in_device():
     w_true = jnp.ones(basis.n_basis) / basis.n_basis
     flux = project_to_bands(basis, filters, w_true, 1.0, 2.0)
     err = 0.02 * jnp.abs(flux) + 1e-4
+    # flux_grid_n=0: this test pins the SHARDED-PT MACHINERY (warmed step
+    # sizes threaded through sharded_pt_kernel) as the same chain, which
+    # needs a logdensity that lowers identically under vmap and shard_map.
+    # The grid-table projection's gather+einsum reduction differs between
+    # the two contexts at ~1e-7 — correct (both are valid fp summation
+    # orders) but trajectory chaos amplifies it past any fixed tolerance
+    # within ~20 steps (measured: 7e-5 at the first kept step, a flipped
+    # swap by step 15).  The grid path on the sharded ladder is covered
+    # functionally by test_run_photo_z_sharded_recovers_z.
     cfg = PhotoZConfig(n_temps=4, n_steps=25, n_warmup=5, n_systems=1,
-                       inner="hmc_adaptive", pt_warmup_steps=15)
+                       inner="hmc_adaptive", pt_warmup_steps=15,
+                       flux_grid_n=0)
     mesh = make_mesh({"temps": 4})
     r_in = run_photo_z(jax.random.key(7), basis, filters, flux, err, cfg)
     r_sh = run_photo_z_sharded(jax.random.key(7), basis, filters, flux, err,

@@ -58,6 +58,69 @@ def test_projection_redshift_lyman_break(filters, basis):
     assert f20[1] / f20[2] > f35[1] / f35[2]
 
 
+def test_band_matrix_grid_matches_exact(filters, basis):
+    """The tabulated projection (PhotoZConfig default) must stay below the
+    likelihood's noise floor everywhere: worst model-flux deviation from
+    the exact per-eval projection < 10% of a 3%-photometry sigma, median
+    < 1e-3 sigma, over random (w, m, z) draws."""
+    from celeste_tpu.quasar.photometry import (
+        band_matrix_grid, project_to_bands_grid,
+    )
+
+    grid = band_matrix_grid(basis, filters, z_max=6.0, n_z=8192)
+    rng = np.random.default_rng(3)
+    zs = jnp.asarray(rng.uniform(0.01, 5.99, 256), jnp.float32)
+    ws = jnp.asarray(rng.dirichlet(np.ones(basis.n_basis), 256), jnp.float32)
+    ms = jnp.asarray(np.exp(rng.normal(0, 1, 256)), jnp.float32)
+    exact = np.asarray(jax.jit(jax.vmap(
+        lambda w, m, z: project_to_bands(basis, filters, w, m, z)))(ws, ms, zs))
+    fast = np.asarray(jax.jit(jax.vmap(
+        lambda w, m, z: project_to_bands_grid(grid, w, m, z)))(ws, ms, zs))
+    sig = 0.03 * np.abs(exact) + 1e-5
+    err_sigma = np.abs(fast - exact) / sig
+    assert float(err_sigma.max()) < 0.10, float(err_sigma.max())
+    assert float(np.median(err_sigma)) < 1e-3
+
+
+def test_photo_z_grid_logdensity_grad_matches_exact(filters, basis):
+    """The grid-backed log density tracks the exact path where it matters —
+    the posterior-typical region (residuals of order sigma): values within
+    0.05 nats and gradients within a few % there.  (Far out in the tails
+    the deviation grows with the residual — a 3e-4-sigma model wobble on a
+    50-sigma residual is ~1.5 nats of a ~1e3-nat chi2 — which moves no
+    sampler: the tails are where chains are rejected anyway.)"""
+    from celeste_tpu.quasar.photo_z import (
+        PhotoZConfig, make_photo_z_logdensity,
+    )
+
+    rng = np.random.default_rng(7)
+    z_true, m_true = 1.7, 2.0
+    w = jnp.asarray([0.4, 0.3, 0.2, 0.1])
+    f = np.asarray(project_to_bands(basis, filters, w, m_true, z_true))
+    e = 0.03 * np.abs(f) + 1e-5
+    flux = f + rng.normal(size=f.shape) * e
+    logd_fast = make_photo_z_logdensity(
+        basis, filters, flux, e, PhotoZConfig())
+    logd_exact = make_photo_z_logdensity(
+        basis, filters, flux, e, PhotoZConfig(flux_grid_n=0))
+    # posterior-typical points: unconstrained truth + small jitter
+    zeta0 = float(np.log(z_true / (6.0 - z_true)))
+    eta0 = np.log(np.asarray(w[:3]) / float(w[3]))
+    vec0 = np.concatenate([[zeta0], eta0, [np.log(m_true)]])
+    vecs = jnp.asarray(
+        vec0[None] + 0.05 * rng.normal(size=(64, vec0.size)), jnp.float32)
+    lf = jax.jit(jax.vmap(logd_fast))(vecs)
+    le = jax.jit(jax.vmap(logd_exact))(vecs)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(le), atol=0.05)
+    gf = np.asarray(jax.jit(jax.vmap(jax.grad(logd_fast)))(vecs))
+    ge = np.asarray(jax.jit(jax.vmap(jax.grad(logd_exact)))(vecs))
+    assert np.isfinite(gf).all()
+    # gradients agree to a few % where they are not ~0 (the interp kinks
+    # perturb the z-derivative only at the table scale)
+    denom = np.abs(ge) + 1e-2 * np.abs(ge).max()
+    assert float(np.median(np.abs(gf - ge) / denom)) < 0.02
+
+
 def test_basis_fit_recovers_subspace(basis):
     """Fit on synthetic spectra: the fitted basis must reconstruct held-out
     spectra to within ~2x the noise level."""
