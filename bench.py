@@ -77,6 +77,16 @@ try:
 except Exception:  # noqa: BLE001 — record absent: ratio fields stay null
     pass
 
+# targets/s, NumPy oracle slice-within-PT on the same config-4 workload
+# (scripts/oracle_photoz_bench.py -> oracle_photoz_results.json)
+ORACLE_PHOTOZ_RATE = None
+try:
+    with open(os.path.join(_REPO, "scripts",
+                           "oracle_photoz_results.json")) as _fh:
+        ORACLE_PHOTOZ_RATE = json.load(_fh)["targets_per_sec"]
+except Exception:  # noqa: BLE001 — record absent: ratio field stays null
+    pass
+
 # Budget semantics (VERDICT r2 Missing #1, refined round 3): the axon
 # tunnel's runtime init is 120-400 s of dead time BEFORE any stage can run
 # (measured 2026-08-17: 300 s on a cold tunnel), and it varies run to run.
@@ -168,6 +178,7 @@ RESULT = {
     "tiled_field_evals_per_sec": None,
     "photoz_targets_per_sec": None,
     "photoz_targets_per_sec_steady": None,
+    "photoz_vs_oracle": None,
     "photoz_z_recovery_frac": None,
     "photoz_batch_n": None,
     "ess_per_sec_tiled": None,
@@ -441,6 +452,10 @@ def _bench_photoz_batch(n_targets=256):
     # from post-compile segments so a cold cache can't deflate it severalfold
     if n_done == cfg.n_steps:
         RESULT["photoz_targets_per_sec"] = n_targets / dt
+        if ORACLE_PHOTOZ_RATE:
+            # same ladder shape (6 temps, 400+150 steps), same target
+            # recipe; oracle is sequential single-core NumPy slice-in-PT
+            RESULT["photoz_vs_oracle"] = (n_targets / dt) / ORACLE_PHOTOZ_RATE
     if len(seg_s) >= 2:
         RESULT["photoz_targets_per_sec_steady"] = n_targets / (
             np.mean(seg_s[1:]) * n_seg_total)
