@@ -1,0 +1,772 @@
+"""Field-scale catalog pipeline: full survey frames -> posterior catalogs.
+
+The stamp pipeline (celeste_tpu.pipeline) holds every candidate's fit on
+the WHOLE image and samples the full scene jointly — right for cutouts,
+quadratic waste for frames: a 1489x2048 SDSS frame with hundreds of
+sources would render every source over 3M pixels and sample one enormous
+joint vector.  This module is the production path the reference ran as
+per-stamp scripts (SURVEY.md C17/§3.2 — its experiments cut stamps around
+photoObj entries by hand; here the framework does the cutting, grouping
+and scaling itself):
+
+  1. detect  — bulk matched-filter peaks + BATCHED cutout star MAPs, a few
+               CLEAN rounds (subtract all fits, re-detect on the residual).
+               Cost O(N_src * CUT^2) per round, independent of frame area.
+  2. group   — union-find on detections: sources closer than
+               ``link_radius_px`` must be sampled jointly (their Poisson
+               likelihoods share pixels); distant sources factorize.
+  3. classify— the stamp pipeline's Jacobi conditional sweeps (star vs
+               galaxy vs absent Laplace evidence + merge + prune), on
+               per-candidate cutouts with leave-one-out effective skies;
+               one vmapped device call per sweep for ALL candidates.
+               Ambiguous candidates get the exact Carlin-Chib type sampler
+               (inference/type_switch), same as the stamp pipeline.
+  4. sample  — the TPU-native core: EVERY fit group sampled in ONE device
+               program.  Groups are padded to a rectangular
+               [G, S_max, GAL_D] state with traced star/alive flags
+               (kernels.mog_field.mixed_field_planes), each group owns a
+               disjoint pixel set (nearest-candidate ownership — no pixel
+               is double-counted across groups), neighbor groups' MAP
+               lambdas fold into the effective sky, and a whitened
+               ChEES-HMC run (per-group dense metric, per-group adapted
+               (eps, T) as traced data) executes as
+               vmap over groups x chains.  Wall time scales with the
+               LARGEST group, not the number of groups.
+  5. catalog — per-source posterior summaries in physical units, global
+               arcsec offsets (no cutout-frame bookkeeping: positions are
+               offsets from the scene reference everywhere).
+
+Approximation (documented, tested): the joint posterior factorizes across
+fit groups EXACTLY only when no pixel receives flux from two groups.
+Groups are linked at ``link_radius_px`` (default = the tile-map support
+radius), so cross-group leakage is below the same truncation threshold the
+tiled kernels already accept (SURVEY.md §5.7); the residual coupling is
+carried by the neighbor-MAP effective sky, not dropped.
+``tests/test_field.py`` gates the group-factorized posterior against the
+full-field joint dense posterior.
+
+Pixel coordinates stay GLOBAL throughout: a cutout is just a gathered
+subset of the frame's pixel grid, so the frame's one WCS affine serves
+every stage (no per-cutout Stamp objects, no wcs_p0 shifting).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from celeste_tpu.inference.chees import chees_warmup, run_chees_ensemble
+from celeste_tpu.inference.diagnostics import summarize
+from celeste_tpu.inference.map_fit import detect_peaks, map_fit
+from celeste_tpu.inference.model_select import laplace_evidence
+from celeste_tpu.inference.whiten import ensemble_covariance, whiten_logdensity
+from celeste_tpu.kernels.mog_field import (
+    _field_planes,
+    _loglik_jnp,
+    mixed_field_planes,
+)
+from celeste_tpu.model.params import GalaxyParams, StarParams
+from celeste_tpu.model.priors import SourcePriors
+from celeste_tpu.model.stamp import Stamp
+from celeste_tpu.mog import eval_grid
+from celeste_tpu.pipeline import CatalogEntry
+from celeste_tpu.utils.metrics import MetricsLogger
+
+STAR_D = lambda b: 2 + b      # noqa: E731 — mirrors parallel.crowded
+GAL_D = lambda b: 6 + b       # noqa: E731
+
+
+@dataclass
+class FieldConfig:
+    """Knobs for the field pipeline.  Defaults sized for SDSS-like frames
+    (0.396''/px, ~1.4'' PSF FWHM)."""
+
+    # -- detection ---------------------------------------------------------
+    cut: int = 24                      # candidate cutout side (px)
+    detection_snr_min: float = 5.0
+    detection_min_separation: int = 5
+    detection_rounds: int = 3          # CLEAN rounds (detect-fit-subtract)
+    max_per_round: int = 64            # matched-filter peaks per round
+    max_candidates: int = 256
+    # -- grouping ----------------------------------------------------------
+    link_radius_px: float = 12.0       # sources closer than this share a group
+    group_margin_px: int = 12          # group cutout margin around the bbox
+    group_cut: int = 48                # minimum group cutout side (px)
+    # -- classification (same semantics as pipeline.PipelineConfig) --------
+    classify: bool = True
+    # max sweeps; the loop stops early once kinds/alive are stable.  The
+    # serialized pruning retires at most one duplicate per neighborhood per
+    # sweep, so the bound is the worst blend multiplicity, not 2.
+    classify_sweeps: int = 5
+    prune_min_evidence: float = 5.0
+    # two candidates whose FITTED centers land within this of each other are
+    # one source: under Jacobi conditional refits a duplicate pair settles
+    # into a stable 50/50 flux split where BOTH keep large leave-one-out
+    # evidence (measured on the smoke field: CLEAN-ripple re-detections of a
+    # bright star each held half its flux forever) — evidence-gain pruning
+    # cannot kill that fixed point, position proximity can.  Default ~= the
+    # PSF FWHM: closer pairs are unresolvable point sources anyway.
+    dedup_radius_arcsec: float = 1.2
+    galaxy_margin_nats: float = 10.0
+    galaxy_sigma_min_arcsec: float = 0.4
+    merge_sigma_factor: float = 1.5
+    type_switch: bool = True
+    type_switch_chains: int = 8
+    type_switch_steps: int = 300
+    map_steps: int = 200
+    # -- group sampling ----------------------------------------------------
+    sample: bool = True                # False -> MAP-only catalog (fast scan)
+    n_chains: int = 32
+    probe_warmup: int = 80             # raw-space ChEES warmup iters
+    probe_steps: int = 48              # raw-space probe draws (pool the metric)
+    n_warmup: int = 100                # whitened-space ChEES warmup iters
+    n_steps: int = 300
+    max_leapfrog: int = 64
+    init_step_size: float = 0.02
+    init_jitter: float = 0.01
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# cutout gathering (host; pixel coordinates stay global)
+# ---------------------------------------------------------------------------
+
+def _cut_origin(cx, cy, cut, h, w):
+    """Integer cutout origin, clipped so the window stays inside the frame."""
+    ox = int(np.clip(round(cx - cut / 2), 0, max(w - cut, 0)))
+    oy = int(np.clip(round(cy - cut / 2), 0, max(h - cut, 0)))
+    return ox, oy
+
+
+def _gather_cutouts(origins, cut, counts, sky, mask):
+    """origins [N, 2] int (ox, oy) -> per-candidate [N, cut*cut] pixel data
+    (px, py, counts, sky, mask) with px/py in GLOBAL frame coordinates."""
+    origins = np.asarray(origins, np.int64).reshape(-1, 2)
+    n = origins.shape[0]
+    dx = np.arange(cut)
+    xs = origins[:, 0][:, None, None] + dx[None, None, :]      # [N, 1, cut]
+    ys = origins[:, 1][:, None, None] + dx[None, :, None]      # [N, cut, 1]
+    px = np.broadcast_to(xs, (n, cut, cut)).reshape(n, -1).astype(np.float32)
+    py = np.broadcast_to(ys, (n, cut, cut)).reshape(n, -1).astype(np.float32)
+    iy = np.broadcast_to(ys, (n, cut, cut))
+    ix = np.broadcast_to(xs, (n, cut, cut))
+    cts = counts[iy, ix].reshape(n, -1).astype(np.float32)
+    sk = sky[iy, ix].reshape(n, -1).astype(np.float32)
+    mk = mask[iy, ix].reshape(n, -1).astype(np.float32)
+    return (jnp.asarray(px), jnp.asarray(py), jnp.asarray(cts),
+            jnp.asarray(sk), jnp.asarray(mk))
+
+
+# ---------------------------------------------------------------------------
+# fit groups
+# ---------------------------------------------------------------------------
+
+def union_groups(positions_px, link_radius_px: float):
+    """Connected components of the overlap graph: i ~ j when their pixel
+    positions are within ``link_radius_px``.  Returns int labels [N]
+    (0..n_groups-1, ordered by first member).  Host NumPy union-find —
+    detection counts are small next to pixel counts."""
+    pos = np.asarray(positions_px, np.float64).reshape(-1, 2)
+    n = pos.shape[0]
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    d2 = np.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if d2[i, j] <= link_radius_px ** 2:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    roots = [find(i) for i in range(n)]
+    order: dict = {}
+    return np.asarray([order.setdefault(r, len(order)) for r in roots],
+                      np.int32)
+
+
+# ---------------------------------------------------------------------------
+# traced-flag rectangular prior (both branches evaluated under jnp.where)
+# ---------------------------------------------------------------------------
+
+def _mixed_rect_logprior(rect, flags, alive, priors: SourcePriors,
+                         n_bands: int):
+    """Prior + log|det J| for a rectangular [S, GAL_D] state where the
+    star/galaxy kind is a TRACED flag per row (the group sampler's kind
+    pattern is data, not Python structure — same reason as
+    ``mixed_field_planes``).  Dead rows (alive=0, group padding) get a
+    standard-normal anchor on every slot so the joint stays proper.
+
+    Both branches are computed for every row; the galaxy branch clamps the
+    shape slots exactly like ``mixed_field_planes`` so a star row's
+    free-floating padding cannot overflow exp() and poison the other
+    branch's gradients through 0 * inf."""
+    sd, gd = STAR_D(n_bands), GAL_D(n_bands)
+    head = rect[..., :sd]
+    p_s = StarParams.from_vector(head, n_bands)
+    lp_star = (priors.star_logpdf(p_s)
+               + StarParams.log_det_jacobian(head, n_bands)
+               - 0.5 * jnp.sum(rect[..., sd:gd] ** 2, axis=-1))
+    v_gal = jnp.concatenate([head, jnp.clip(rect[..., sd:gd], -12.0, 12.0)],
+                            axis=-1)
+    p_g = GalaxyParams.from_vector(v_gal, n_bands)
+    lp_gal = (priors.galaxy_logpdf(p_g)
+              + GalaxyParams.log_det_jacobian(v_gal, n_bands))
+    lp_row = jnp.where(flags, lp_star, lp_gal)
+    anchor = -0.5 * jnp.sum(rect * rect, axis=-1)
+    return jnp.sum(jnp.where(alive, lp_row, anchor), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+# ---------------------------------------------------------------------------
+
+def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
+                       cfg: FieldConfig = FieldConfig(),
+                       priors: Optional[SourcePriors] = None,
+                       logger: Optional[MetricsLogger] = None):
+    """Frame pixels -> posterior catalog at field scale (single band; the
+    stamp pipeline remains the multi-band joint path for cutouts).
+
+    Returns ``(catalog, artifacts)``: a list of
+    :class:`celeste_tpu.pipeline.CatalogEntry` (``extras['group']`` carries
+    the fit-group id) and artifacts with per-group samples/diagnostics.
+    """
+    priors = priors or SourcePriors()
+    logger = logger or MetricsLogger()
+    key = jax.random.key(cfg.seed)
+    counts = np.asarray(stamp.counts, np.float64)
+    sky = np.asarray(stamp.sky, np.float64)
+    mask = np.asarray(stamp.mask, np.float64)
+    h, w = counts.shape
+    cut = int(min(cfg.cut, h, w))
+    ds, gd = STAR_D(n_bands), GAL_D(n_bands)
+    a_inv = np.linalg.inv(np.asarray(stamp.wcs_A, np.float64))
+    p0 = np.asarray(stamp.wcs_p0, np.float64)
+    psf_peak = float(eval_grid(stamp.psf, jnp.zeros(()), jnp.zeros(())))
+    iota = float(np.asarray(stamp.iota))
+    gal_shape_init = np.array([0.0, 0.0, 0.0, 0.5], np.float32)
+
+    # ---- jitted batch programs (compiled once per run) --------------------
+
+    def _lam_cut(planes, px, py):
+        """Per-component planes [C] -> sky-free lambda on cutout pixels."""
+        amp, mx, my, pa, pb, pc = planes
+        dx = px[None, :] - mx[:, None]
+        dy = py[None, :] - my[:, None]
+        quad = (pa[:, None] * dx * dx + 2.0 * pb[:, None] * dx * dy
+                + pc[:, None] * dy * dy)
+        return jnp.sum(amp[:, None] * jnp.exp(-0.5 * quad), axis=0)
+
+    @jax.jit
+    def det_fit_batch(x0s, px, py, cts, sk, mk):
+        """Batched detection-stage star MAPs on residual-count cutouts.
+        Returns (x_maps [N, ds], sky-free fit lambdas [N, cut*cut])."""
+        def one(x0, pxi, pyi, c, s, m):
+            def logd(x):
+                planes = _field_planes(x, stamp, band, "star", n_bands)
+                ll = _loglik_jnp(*(p[None] for p in planes), pxi[None],
+                                 pyi[None], c[None], s[None], m[None])[0]
+                p = StarParams.from_vector(x, n_bands)
+                return (ll + priors.star_logpdf(p)
+                        + StarParams.log_det_jacobian(x, n_bands))
+            xm, _ = map_fit(logd, x0, n_steps=cfg.map_steps)
+            lam = _lam_cut(_field_planes(xm, stamp, band, "star", n_bands),
+                           pxi, pyi)
+            return xm, lam
+        return jax.vmap(one)(x0s, px, py, cts, sk, mk)
+
+    def _cond_logd(kind):
+        """Conditional log density of one candidate on its cutout, with the
+        effective sky (sky + everyone else's lambda) as traced data."""
+        def logd(x, pxi, pyi, c, eff, m):
+            planes = _field_planes(x, stamp, band, kind, n_bands)
+            ll = _loglik_jnp(*(p[None] for p in planes), pxi[None],
+                             pyi[None], c[None], eff[None], m[None])[0]
+            if kind == "star":
+                p = StarParams.from_vector(x, n_bands)
+                return (ll + priors.star_logpdf(p)
+                        + StarParams.log_det_jacobian(x, n_bands))
+            p = GalaxyParams.from_vector(x, n_bands)
+            return (ll + priors.galaxy_logpdf(p)
+                    + GalaxyParams.log_det_jacobian(x, n_bands))
+        return logd
+
+    _logd_s, _logd_g = _cond_logd("star"), _cond_logd("galaxy")
+
+    @jax.jit
+    def classify_batch(rects, px, py, cts, eff, mk):
+        """One Jacobi sweep: per-candidate star fit/evidence, galaxy
+        fit/evidence, source-free evidence, and the CURRENT-state lambda
+        (for the next sweep's effective skies)."""
+        def per_cand(rect, pxi, pyi, c, e, m):
+            xs, _ = map_fit(lambda x: _logd_s(x, pxi, pyi, c, e, m),
+                            rect[:ds], n_steps=cfg.map_steps)
+            lz_s = laplace_evidence(
+                lambda x: _logd_s(x, pxi, pyi, c, e, m), xs)
+            if cfg.classify:
+                xg, _ = map_fit(lambda x: _logd_g(x, pxi, pyi, c, e, m),
+                                rect, n_steps=cfg.map_steps)
+                lz_g = laplace_evidence(
+                    lambda x: _logd_g(x, pxi, pyi, c, e, m), xg)
+            else:
+                xg, lz_g = jnp.zeros(gd, rect.dtype), -jnp.inf
+            lz_0 = jnp.sum((c * jnp.log(e) - e) * m)
+            return xs, lz_s, xg, lz_g, lz_0
+        return jax.vmap(per_cand)(rects, px, py, cts, eff, mk)
+
+    @jax.jit
+    def cand_lams(rects, flags, px, py):
+        """Per-candidate sky-free lambdas on their cutouts from the current
+        rect states (traced kinds)."""
+        def one(rect, flag, pxi, pyi):
+            planes = mixed_field_planes(rect, stamp, band, n_bands, flag)
+            return _lam_cut(planes, pxi, pyi)
+        return jax.vmap(one)(rects, flags, px, py)
+
+    # ---- 1. detect: bulk matched filter + batched MAPs, CLEAN rounds ------
+    work = counts.copy()
+    cand_pos: list = []          # pixel (x, y)
+    cand_x: list = []            # star MAP vectors [ds]
+    snr_log: list = []
+    for rnd in range(cfg.detection_rounds):
+        det_stamp = Stamp(jnp.asarray(work, jnp.float32), stamp.sky,
+                          stamp.iota, stamp.mask, stamp.psf, stamp.wcs_A,
+                          stamp.wcs_p0, stamp.band)
+        peaks, snrs = detect_peaks(det_stamp, n_peaks=cfg.max_per_round,
+                                   min_separation=cfg.detection_min_separation)
+        sel = []
+        for (pxk, pyk), s in zip(peaks, snrs):
+            if s < cfg.detection_snr_min:
+                break
+            if any(np.hypot(pxk - q[0], pyk - q[1])
+                   < cfg.detection_min_separation for q in cand_pos):
+                continue        # residual ripple of an already-fit source
+            # same-round peaks must not share cutout pixels: two fits of
+            # the SAME flux would each absorb it and the batch subtraction
+            # would remove it twice (measured: a 5-source smoke field went
+            # strongly negative under 30 simultaneous wing fits).  Coupled
+            # peaks simply wait for the next CLEAN round, after the
+            # brighter one's fit is subtracted.
+            if any(np.hypot(pxk - t[0], pyk - t[1]) < cut for t in sel):
+                continue
+            if len(cand_pos) + len(sel) >= cfg.max_candidates:
+                break
+            sel.append((pxk, pyk, s))
+        if not sel:
+            break
+        origins = np.asarray([_cut_origin(px_, py_, cut, h, w)
+                              for px_, py_, _ in sel])
+        x0s = []
+        for px_, py_, _ in sel:
+            du0 = a_inv @ (np.array([px_, py_]) - p0)
+            peak = max(float(work[int(py_), int(px_)]
+                             - sky[int(py_), int(px_)]), 1.0)
+            x0s.append(np.concatenate(
+                [du0, np.full(n_bands, np.log(peak / (iota * psf_peak)))]))
+        pd_cut = _gather_cutouts(origins, cut, work, sky, mask)
+        x_maps, lams = jax.tree_util.tree_map(np.asarray, det_fit_batch(
+            jnp.asarray(np.stack(x0s), jnp.float32), *pd_cut))
+        for k, (ox, oy) in enumerate(origins):
+            work[oy:oy + cut, ox:ox + cut] -= lams[k].reshape(cut, cut)
+            cand_pos.append((sel[k][0], sel[k][1]))
+            cand_x.append(x_maps[k])
+            snr_log.append(sel[k][2])
+        logger.log("detect_round", round=rnd, found=len(sel),
+                   total=len(cand_pos))
+    n_cand = len(cand_pos)
+    logger.log("detect", n_candidates=n_cand,
+               snrs=np.round(snr_log, 1).tolist())
+    if n_cand == 0:
+        return [], {"n_sources": 0, "n_groups": 0}
+
+    # cutout origins tied to the FITTED positions (stable across sweeps)
+    fit_px = np.asarray([
+        p0 + np.asarray(stamp.wcs_A, np.float64) @ np.asarray(x[:2], np.float64)
+        for x in cand_x])
+    origins = np.asarray([_cut_origin(cx, cy, cut, h, w)
+                          for cx, cy in fit_px])
+    pd_cut = _gather_cutouts(origins, cut, counts, sky, mask)
+    cpx, cpy = pd_cut[0], pd_cut[1]
+
+    # ---- 2+3. classify: Jacobi sweeps with leave-one-out effective skies --
+    cand = [{"kind": "star", "x": np.asarray(x, np.float32), "p": 1.0,
+             "alive": True} for x in cand_x]
+
+    def _rect_of(c):
+        r = np.zeros(gd, np.float32)
+        if c["kind"] == "star":
+            r[:ds] = c["x"][:ds]
+            r[ds:] = gal_shape_init
+        else:
+            r[:] = c["x"]
+        return r
+
+    def _scatter_total(lams_np, alive_np):
+        """Scatter alive candidates' cutout lambdas into a frame canvas."""
+        canvas = np.zeros((h, w), np.float64)
+        for i, (ox, oy) in enumerate(origins):
+            if alive_np[i]:
+                canvas[oy:oy + cut, ox:ox + cut] += lams_np[i].reshape(cut, cut)
+        return canvas
+
+    def _gather_eff(canvas, lams_np):
+        """Per-candidate effective sky on its cutout: sky + total - own."""
+        eff = np.empty((n_cand, cut * cut), np.float32)
+        for i, (ox, oy) in enumerate(origins):
+            tot = canvas[oy:oy + cut, ox:ox + cut].reshape(-1)
+            eff[i] = np.maximum(
+                sky[oy:oy + cut, ox:ox + cut].reshape(-1) + tot - lams_np[i],
+                1e-6)
+        return jnp.asarray(eff)
+
+    lz_s_b = lz_g_b = None
+    lams_np = np.zeros((n_cand, cut * cut), np.float64)
+    state_prev = None
+    for sweep in range(cfg.classify_sweeps):
+        rects = jnp.asarray(np.stack([_rect_of(c) for c in cand]))
+        flags = jnp.asarray([c["kind"] == "star" for c in cand])
+        alive_np = np.asarray([c["alive"] for c in cand])
+        lams_np = np.asarray(cand_lams(rects, flags, cpx, cpy), np.float64)
+        lams_np[~alive_np] = 0.0
+        eff = _gather_eff(_scatter_total(lams_np, alive_np), lams_np)
+        xs_b, lz_s_b, xg_b, lz_g_b, lz_0_b = jax.tree_util.tree_map(
+            np.asarray,
+            classify_batch(rects, cpx, cpy, pd_cut[2], eff, pd_cut[4]))
+        # pruning is neighborhood-SERIALIZED: under Jacobi sweeps two
+        # candidates splitting one source's flux each look redundant given
+        # the other and a naive threshold prunes BOTH (mutual explaining-
+        # away — observed killing real sources on the smoke field).  Per
+        # sweep, prune the weakest candidate of each cutout-sized
+        # neighborhood only; its neighbors get re-judged next sweep against
+        # the updated scene.
+        below = []
+        for i, ci in enumerate(cand):
+            if not ci["alive"]:
+                continue
+            lz_s, lz_g = float(lz_s_b[i]), float(lz_g_b[i])
+            if not cfg.classify:
+                lz_g = -np.inf
+            gain = max(lz_s, lz_g) - float(lz_0_b[i])
+            if gain < cfg.prune_min_evidence:
+                below.append((gain, i))
+        cut_arcsec = cut * float(np.abs(a_inv).max())   # cutout side in arcsec
+        pruned_now: list = []
+        for _, i in sorted(below):
+            xi = cand[i]["x"]
+            if any(np.hypot(xi[0] - cand[j]["x"][0],
+                            xi[1] - cand[j]["x"][1]) < cut_arcsec
+                   for j in pruned_now):
+                continue
+            cand[i]["alive"] = False
+            pruned_now.append(i)
+        for i, ci in enumerate(cand):
+            if not ci["alive"]:
+                continue
+            lz_s, lz_g = float(lz_s_b[i]), float(lz_g_b[i])
+            if not cfg.classify:
+                lz_g = -np.inf
+            ci["p"] = float(jax.nn.sigmoid(lz_s - lz_g)) if cfg.classify else 1.0
+            sigma_fit = (float(np.exp(xg_b[i][3 + n_bands]))
+                         if cfg.classify else 0.0)
+            if (cfg.classify and lz_g > lz_s + cfg.galaxy_margin_nats
+                    and sigma_fit > cfg.galaxy_sigma_min_arcsec):
+                ci["kind"], ci["x"] = "galaxy", np.asarray(xg_b[i])
+            else:
+                ci["kind"], ci["x"] = "star", np.asarray(xs_b[i])
+        # positional dedup (all kinds): refits move CLEAN-ripple duplicates
+        # onto the source they re-detected; keep the higher-evidence one
+        gains = {i: max(float(lz_s_b[i]),
+                        float(lz_g_b[i]) if cfg.classify else -np.inf)
+                 - float(lz_0_b[i]) for i in range(n_cand)}
+        alive_now = [i for i, c in enumerate(cand) if c["alive"]]
+        for a_ix, i in enumerate(alive_now):
+            if not cand[i]["alive"]:
+                continue
+            for j in alive_now[a_ix + 1:]:
+                if not cand[j]["alive"]:
+                    continue
+                d = float(np.hypot(cand[i]["x"][0] - cand[j]["x"][0],
+                                   cand[i]["x"][1] - cand[j]["x"][1]))
+                if d < cfg.dedup_radius_arcsec:
+                    loser = i if gains[i] < gains[j] else j
+                    cand[loser]["alive"] = False
+        # merge: a fitted galaxy owns its interior (same rule as the stamp
+        # pipeline — halo fragments are not sources)
+        for g in sorted((c for c in cand if c["alive"] and c["kind"] == "galaxy"),
+                        key=lambda c: -float(np.exp(c["x"][2]))):
+            if not g["alive"]:
+                continue
+            sig_g = float(np.exp(g["x"][3 + n_bands]))
+            r_merge = cfg.merge_sigma_factor * np.clip(sig_g, 0.5, 4.0)
+            flux_g = float(np.exp(g["x"][2]))
+            for c in cand:
+                if c is g or not c["alive"]:
+                    continue
+                dist = float(np.hypot(c["x"][0] - g["x"][0],
+                                      c["x"][1] - g["x"][1]))
+                if dist < r_merge and float(np.exp(c["x"][2])) < flux_g:
+                    c["alive"] = False
+        logger.log("classify_sweep", sweep=sweep,
+                   kinds=[c["kind"] for c in cand if c["alive"]],
+                   pruned=sum(not c["alive"] for c in cand),
+                   du=[np.round(c["x"][:2], 2).tolist()
+                       for c in cand if c["alive"]],
+                   gain=[round(gains[i], 1) for i, c in enumerate(cand)
+                         if c["alive"]],
+                   lz_sg=[[round(float(lz_s_b[i]), 1),
+                           round(float(lz_g_b[i]), 1)]
+                          for i, c in enumerate(cand) if c["alive"]])
+        state_now = [(c["kind"], c["alive"]) for c in cand]
+        if sweep > 0 and state_now == state_prev:
+            break
+        state_prev = state_now
+
+    # exact Carlin-Chib decision for the ambiguous band (same contract as
+    # pipeline.run_pipeline's stage 2b; SURVEY.md C11)
+    if cfg.classify and cfg.type_switch and cfg.classify_sweeps > 0:
+        from celeste_tpu.inference.type_switch import sample_source_type_core
+
+        amb = [i for i, c in enumerate(cand)
+               if c["alive"] and abs(float(lz_g_b[i]) - float(lz_s_b[i]))
+               < cfg.galaxy_margin_nats]
+        if amb:
+            rects = jnp.asarray(np.stack([_rect_of(c) for c in cand]))
+            flags = jnp.asarray([c["kind"] == "star" for c in cand])
+            alive_np = np.asarray([c["alive"] for c in cand])
+            lams_np = np.asarray(cand_lams(rects, flags, cpx, cpy), np.float64)
+            lams_np[~alive_np] = 0.0
+            eff = _gather_eff(_scatter_total(lams_np, alive_np), lams_np)
+
+            @jax.jit
+            def type_switch_batch(keys, rects_a, px_a, py_a, cts_a, eff_a, mk_a):
+                def per_cand(k, rect, pxi, pyi, c, e, m):
+                    ls = lambda x: _logd_s(x, pxi, pyi, c, e, m)   # noqa: E731
+                    lg = lambda x: _logd_g(x, pxi, pyi, c, e, m)   # noqa: E731
+                    out = sample_source_type_core(
+                        k, ls, lg, rect[:ds], rect,
+                        n_chains=cfg.type_switch_chains,
+                        n_steps=cfg.type_switch_steps,
+                        n_map_steps=cfg.map_steps)
+                    return (out["p_star"], out["x_star_mean"],
+                            out["x_gal_mean"])
+                return jax.vmap(per_cand)(keys, rects_a, px_a, py_a, cts_a,
+                                          eff_a, mk_a)
+
+            idx = jnp.asarray(amb)
+            keys_a = jax.random.split(jax.random.fold_in(key, 77), len(amb))
+            p_b, xs_m, xg_m = jax.tree_util.tree_map(np.asarray, type_switch_batch(
+                keys_a, rects[idx], cpx[idx], cpy[idx], pd_cut[2][idx],
+                eff[idx], pd_cut[4][idx]))
+            for j, i in enumerate(amb):
+                ps = float(p_b[j])
+                ci = cand[i]
+                ci["p"] = ps
+                sigma_mean = float(np.exp(xg_m[j][3 + n_bands]))
+                if ps < 0.5 and sigma_mean > cfg.galaxy_sigma_min_arcsec:
+                    ci["kind"], ci["x"] = "galaxy", np.asarray(xg_m[j])
+                else:
+                    ci["kind"], ci["x"] = "star", np.asarray(xs_m[j])
+            logger.log("type_switch", candidates=amb,
+                       p_star=np.round(p_b, 3).tolist())
+
+    alive_idx = [i for i, c in enumerate(cand) if c["alive"]]
+    if not alive_idx:
+        return [], {"n_sources": 0, "n_groups": 0}
+
+    # ---- 4. group + sample: every group in ONE device program -------------
+    alive_pos = np.asarray([
+        p0 + np.asarray(stamp.wcs_A, np.float64)
+        @ np.asarray(cand[i]["x"][:2], np.float64) for i in alive_idx])
+    labels = union_groups(alive_pos, cfg.link_radius_px)
+    n_groups = int(labels.max()) + 1
+    members = [[alive_idx[k] for k in np.nonzero(labels == g)[0]]
+               for g in range(n_groups)]
+    s_max = max(len(m) for m in members)
+    logger.log("groups", n_groups=n_groups, s_max=s_max,
+               sizes=[len(m) for m in members])
+
+    if not cfg.sample:
+        # MAP-only catalog: the detection/classification scan without the
+        # posterior stage (fast survey sweeps; stds are zero by construction)
+        catalog: List[CatalogEntry] = []
+        for g, mem in enumerate(members):
+            for i in mem:
+                x, kind = cand[i]["x"], cand[i]["kind"]
+                catalog.append(CatalogEntry(
+                    kind=kind, p_star=cand[i]["p"],
+                    du_mean=np.asarray(x[:2]), du_std=np.zeros(2),
+                    flux_mean=np.exp(x[2:2 + n_bands]),
+                    flux_std=np.zeros(n_bands),
+                    extras={"group": g}))
+        return catalog, {"n_sources": len(catalog), "n_groups": n_groups,
+                         "groups": members, "s_max": s_max}
+
+    # group cutout side: cover every group's bbox + margin (static per run)
+    need = cfg.group_cut
+    for mem in members:
+        pts = alive_pos[[alive_idx.index(i) for i in mem]]
+        ext = float(max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1])))
+        need = max(need, int(np.ceil(ext)) + 2 * cfg.group_margin_px)
+    gcut = int(min(-(-need // 8) * 8, max(h, w)))
+    gcut = min(gcut, min(h, w))
+
+    # final per-candidate lambdas for neighbor-group effective skies
+    rects_f = jnp.asarray(np.stack([_rect_of(c) for c in cand]))
+    flags_f = jnp.asarray([c["kind"] == "star" for c in cand])
+    alive_f = np.asarray([c["alive"] for c in cand])
+    lams_f = np.asarray(cand_lams(rects_f, flags_f, cpx, cpy), np.float64)
+    lams_f[~alive_f] = 0.0
+    canvas = _scatter_total(lams_f, alive_f)
+
+    g_orig = []
+    for mem in members:
+        pts = alive_pos[[alive_idx.index(i) for i in mem]]
+        cx, cy = float(pts[:, 0].mean()), float(pts[:, 1].mean())
+        g_orig.append(_cut_origin(cx, cy, gcut, h, w))
+    g_px, g_py, g_cts, g_sky, g_mk = [np.array(a) for a in _gather_cutouts(
+        np.asarray(g_orig), gcut, counts, sky, mask)]
+
+    # pixel ownership: each frame pixel belongs to the group of its nearest
+    # alive candidate — group likelihoods never double-count a pixel
+    own_lab = labels  # per alive candidate
+    g_eff = np.empty_like(g_sky)
+    for g, (ox, oy) in enumerate(g_orig):
+        pxg, pyg = g_px[g], g_py[g]
+        d2 = ((pxg[None, :] - alive_pos[:, 0][:, None]) ** 2
+              + (pyg[None, :] - alive_pos[:, 1][:, None]) ** 2)
+        owner = own_lab[np.argmin(d2, axis=0)]
+        g_mk[g] = g_mk[g] * (owner == g)
+        # neighbor groups' MAP lambdas -> effective sky on this cutout
+        tot = canvas[oy:oy + gcut, ox:ox + gcut].reshape(-1)
+        own = np.zeros(gcut * gcut, np.float64)
+        for i in members[g]:
+            ox_i, oy_i = origins[i]
+            x0, y0 = max(ox_i, ox), max(oy_i, oy)
+            x1 = min(ox_i + cut, ox + gcut)
+            y1 = min(oy_i + cut, oy + gcut)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            patch = lams_f[i].reshape(cut, cut)[
+                y0 - oy_i:y1 - oy_i, x0 - ox_i:x1 - ox_i]
+            blk = own.reshape(gcut, gcut)
+            blk[y0 - oy:y1 - oy, x0 - ox:x1 - ox] += patch
+        g_eff[g] = np.maximum(
+            g_sky[g] + np.maximum(tot - own, 0.0), 1e-6)
+
+    # rectangular group states [G, S_max, GAL_D] + traced flags/alive
+    rect_g = np.zeros((n_groups, s_max, gd), np.float32)
+    flg_g = np.zeros((n_groups, s_max), bool)
+    alv_g = np.zeros((n_groups, s_max), bool)
+    for g, mem in enumerate(members):
+        for k, i in enumerate(mem):
+            rect_g[g, k] = _rect_of(cand[i])
+            flg_g[g, k] = cand[i]["kind"] == "star"
+            alv_g[g, k] = True
+
+    d_g = s_max * gd
+
+    def group_logd(x, flg, alv, pxg, pyg, ctsg, effg, mkg):
+        rect = x.reshape(s_max, gd)
+        planes = jax.vmap(
+            lambda v, f: mixed_field_planes(v, stamp, band, n_bands, f)
+        )(rect, flg)
+        amp = planes[0] * alv[:, None]
+        flat = tuple(p.reshape(1, -1) for p in (amp,) + planes[1:])
+        ll = _loglik_jnp(*flat, pxg[None], pyg[None], ctsg[None],
+                         effg[None], mkg[None], centered=True)[0]
+        return ll + _mixed_rect_logprior(rect, flg, alv, priors, n_bands)
+
+    @jax.jit
+    def sample_groups(keys, x0b, flg, alv, pxg, pyg, ctsg, effg, mkg):
+        """vmap over groups: raw-space ChEES probe -> per-group dense metric
+        -> whitened ChEES run.  (eps, T) stay traced per group — nothing
+        here touches the host."""
+        def one(kg, x0, fl, al, px_, py_, ct, ef, mk):
+            logd = lambda x: group_logd(x, fl, al, px_, py_, ct, ef, mk)  # noqa: E731
+            k1, k2, k3, k4 = jax.random.split(kg, 4)
+            st, eps, traj = chees_warmup(
+                k1, logd, x0, n_warmup=cfg.probe_warmup,
+                init_step_size=cfg.init_step_size,
+                max_leapfrog=cfg.max_leapfrog)
+            probe, st, _ = run_chees_ensemble(
+                k2, logd, st, n_steps=cfg.probe_steps, step_size=eps,
+                trajectory_length=traj, max_leapfrog=cfg.max_leapfrog)
+            m_hat, cov_hat = ensemble_covariance(probe[:, ::2], ridge=1e-4)
+            logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
+            st2, eps2, traj2 = chees_warmup(
+                k3, logd_z, to_z(st.xs), n_warmup=cfg.n_warmup,
+                init_step_size=0.3, max_leapfrog=cfg.max_leapfrog)
+            samples_z, _, infos = run_chees_ensemble(
+                k4, logd_z, st2, n_steps=cfg.n_steps, step_size=eps2,
+                trajectory_length=traj2, max_leapfrog=cfg.max_leapfrog)
+            return to_x(samples_z), infos
+        return jax.vmap(one)(keys, x0b, flg, alv, pxg, pyg, ctsg, effg, mkg)
+
+    k_s, k_i = jax.random.split(jax.random.fold_in(key, 5))
+    x0b = (jnp.asarray(rect_g.reshape(n_groups, 1, d_g))
+           + cfg.init_jitter * jax.random.normal(
+               k_i, (n_groups, cfg.n_chains, d_g), jnp.float32))
+    samples, infos = sample_groups(
+        jax.random.split(k_s, n_groups), x0b, jnp.asarray(flg_g),
+        jnp.asarray(alv_g), jnp.asarray(g_px), jnp.asarray(g_py),
+        jnp.asarray(g_cts), jnp.asarray(g_eff), jnp.asarray(g_mk))
+    samples = np.asarray(samples)                     # [G, B, T, D_g]
+    kept = samples[:, :, cfg.n_steps // 4:, :]
+
+    # ---- 5. catalog --------------------------------------------------------
+    catalog: List[CatalogEntry] = []
+    diag = []
+    for g, mem in enumerate(members):
+        ks = kept[g]                                   # [B, T, D_g]
+        cols = []
+        for k_m, i in enumerate(mem):
+            d = ds if cand[i]["kind"] == "star" else gd
+            cols.extend(range(k_m * gd, k_m * gd + d))
+        summ = summarize(jnp.asarray(ks[..., cols]))
+        diag.append({"group": g,
+                     "rhat_max": float(jnp.max(summ["rhat"])),
+                     "ess_min": float(jnp.min(summ["ess"])),
+                     "divergence_rate": float(jnp.mean(
+                         infos.divergence_rate[g])),
+                     "accept_rate": float(jnp.mean(infos.accept_rate[g]))})
+        flat = ks.reshape(-1, d_g)
+        for k_m, i in enumerate(mem):
+            blk = flat[:, k_m * gd:(k_m + 1) * gd]
+            kind = cand[i]["kind"]
+            du = blk[:, :2]
+            flux = np.exp(blk[:, 2:2 + n_bands])
+            extras = {"group": g}
+            if kind == "galaxy":
+                sigma = np.exp(blk[:, 3 + n_bands])
+                extras.update({
+                    "theta_dev_mean": float(
+                        (1 / (1 + np.exp(-blk[:, 2 + n_bands]))).mean()),
+                    "sigma_mean": float(sigma.mean()),
+                    "sigma_std": float(sigma.std()),
+                    "ab_mean": float(
+                        (1 / (1 + np.exp(-blk[:, 4 + n_bands]))).mean()),
+                    "phi_mean": float(blk[:, 5 + n_bands].mean()),
+                })
+            catalog.append(CatalogEntry(
+                kind=kind, p_star=cand[i]["p"],
+                du_mean=du.mean(0), du_std=du.std(0),
+                flux_mean=flux.mean(0), flux_std=flux.std(0),
+                extras=extras))
+    logger.log("sample", n_groups=n_groups,
+               rhat_max=max(d["rhat_max"] for d in diag),
+               ess_min=min(d["ess_min"] for d in diag),
+               divergence_max=max(d["divergence_rate"] for d in diag))
+    artifacts = {"n_sources": len(catalog), "n_groups": n_groups,
+                 "groups": members, "samples": samples, "group_cut": gcut,
+                 "diagnostics": diag, "s_max": s_max}
+    return catalog, artifacts

@@ -266,12 +266,15 @@ def run_chees_ensemble(key, logdensity_fn, state: ChEESState, n_steps: int,
     vg = value_and_grad_of(logdensity_fn)
     d = state.xs.shape[-1]
     inv_mass = jnp.ones((d,), jnp.float32)
-    eps = jnp.float32(step_size)
+    # asarray, not jnp.float32(): (eps, T) may be TRACED values — the
+    # group-batched field sampler vmaps this whole function over per-group
+    # adapted step sizes (celeste_tpu/field.py)
+    eps = jnp.asarray(step_size, jnp.float32)
 
     def step(state, inp):
         key_t, i = inp
         u = _halton(i)
-        traj = u * jnp.float32(trajectory_length)
+        traj = u * jnp.asarray(trajectory_length, jnp.float32)
         # clip HERE so the info reports the leapfrogs actually executed
         # (_ensemble_step clips identically; an unclipped report overcounts
         # gradient work whenever round(u*T/eps) exceeds the cap)
