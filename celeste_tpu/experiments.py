@@ -108,6 +108,12 @@ CONFIGS = {
     "pipeline": ExperimentConfig(name="pipeline", sampler="nuts", n_chains=16,
                                  n_steps=400, n_warmup=200, shape=(33, 33),
                                  n_sources=3, bands=(2,)),
+    # field-scale catalog pipeline (celeste_tpu/field.py): a synthetic frame
+    # with isolated sources + a blend; detection/grouping/classification are
+    # the frame's own, sampling is one vmapped device program over groups
+    "field": ExperimentConfig(name="field", sampler="chees", n_chains=32,
+                              n_steps=300, n_warmup=100, shape=(96, 96),
+                              n_sources=5, bands=(2,)),
 }
 
 
@@ -300,6 +306,48 @@ def run_experiment(cfg: ExperimentConfig):
         if "ppc" in artifacts:
             result["ppc_pvalue"] = np.asarray(
                 [p["pvalue"] for p in artifacts["ppc"]])
+        if cfg.out:
+            np.savez(cfg.out, **result)
+        return result
+
+    if cfg.name == "field":
+        from celeste_tpu.data.synthetic import (galaxy_source,
+                                                make_synthetic_stamp,
+                                                star_source)
+        from celeste_tpu.field import FieldConfig, run_field_pipeline
+        from celeste_tpu.model.priors import FluxPrior, SourcePriors
+
+        cosd = np.cos(np.deg2rad(10.0))
+        asu = 1.0 / 3600.0
+        srcs = [
+            star_source(u=(30.0 - 14 * asu / cosd, 10.0 - 13 * asu), flux_r=60.0),
+            star_source(u=(30.0 + 15 * asu / cosd, 10.0 - 11 * asu), flux_r=30.0),
+            star_source(u=(30.0 - 12 * asu / cosd, 10.0 + 14 * asu), flux_r=45.0),
+            star_source(u=(30.0 + 10 * asu / cosd, 10.0 + 12 * asu), flux_r=40.0),
+            galaxy_source(u=(30.0 + 10 * asu / cosd, 10.0 + 14.4 * asu),
+                          flux_r=80.0, sigma=1.6, ab=0.7),
+        ][:max(cfg.n_sources, 1)]
+        scene = make_synthetic_stamp(srcs, shape=cfg.shape, bands=cfg.bands,
+                                     seed=cfg.seed + 11)
+        fcfg = FieldConfig(n_chains=cfg.n_chains, n_warmup=cfg.n_warmup,
+                           n_steps=cfg.n_steps, seed=cfg.seed,
+                           type_switch=cfg.type_switch)
+        catalog, artifacts = run_field_pipeline(
+            scene.stamps[0], band=0, n_bands=1, cfg=fcfg,
+            priors=SourcePriors(flux=FluxPrior(log_ref_mean=3.2,
+                                               log_ref_std=2.0)),
+            logger=logger)
+        logger.log("done", n_sources=len(catalog),
+                   n_groups=artifacts["n_groups"],
+                   kinds=[e.kind for e in catalog])
+        result = {
+            "kinds": np.asarray([e.kind for e in catalog]),
+            "group": np.asarray([e.extras["group"] for e in catalog]),
+            "du_mean": (np.stack([e.du_mean for e in catalog])
+                        if catalog else np.zeros((0, 2))),
+            "flux_mean": (np.stack([e.flux_mean for e in catalog])
+                          if catalog else np.zeros((0, 1))),
+        }
         if cfg.out:
             np.savez(cfg.out, **result)
         return result

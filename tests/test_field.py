@@ -1,0 +1,152 @@
+"""Field-scale catalog pipeline (celeste_tpu/field.py; SURVEY.md C17/§3.2:
+the reference ran frames as hand-cut per-stamp scripts — here the framework
+does the cutting/grouping/scaling itself).
+
+Suite-time note: the group sampler compiles one vmapped double-ChEES
+program per (G, S_max, gcut) shape; configs here are sized so the whole
+module stays within a few minutes cold and seconds warm (persistent cache).
+"""
+
+import numpy as np
+import pytest
+
+from celeste_tpu.data.synthetic import (galaxy_source, make_synthetic_stamp,
+                                        star_source)
+from celeste_tpu.field import FieldConfig, run_field_pipeline, union_groups
+from celeste_tpu.model.priors import FluxPrior, SourcePriors
+
+PRIORS = SourcePriors(flux=FluxPrior(log_ref_mean=3.2, log_ref_std=2.0))
+ASU = 1.0 / 3600.0
+COSD = np.cos(np.deg2rad(10.0))
+
+
+def _mixed_frame():
+    """96x96 frame: 3 isolated stars + a star/galaxy blend 2.4'' apart."""
+    srcs = [
+        star_source(u=(30.0 - 14 * ASU / COSD, 10.0 - 13 * ASU), flux_r=60.0),
+        star_source(u=(30.0 + 15 * ASU / COSD, 10.0 - 11 * ASU), flux_r=30.0),
+        star_source(u=(30.0 - 12 * ASU / COSD, 10.0 + 14 * ASU), flux_r=45.0),
+        star_source(u=(30.0 + 10 * ASU / COSD, 10.0 + 12 * ASU), flux_r=40.0),
+        galaxy_source(u=(30.0 + 10 * ASU / COSD, 10.0 + (12 + 2.4) * ASU),
+                      flux_r=80.0, sigma=1.6, ab=0.7),
+    ]
+    scene = make_synthetic_stamp(srcs, shape=(96, 96), bands=(2,), seed=11)
+    return scene, srcs
+
+
+def test_union_groups():
+    pos = np.array([[0.0, 0.0], [5.0, 0.0], [40.0, 40.0], [40.0, 44.0],
+                    [9.0, 0.0]])
+    labels = union_groups(pos, link_radius_px=6.0)
+    # 0-1-4 chain through transitivity; 2-3 together
+    assert labels.tolist() == [0, 0, 1, 1, 0]
+    assert union_groups(pos, link_radius_px=1.0).tolist() == [0, 1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def map_only_result():
+    scene, srcs = _mixed_frame()
+    # map_steps=200 (default): at 150 the galaxy's conditional MAP
+    # under-converges, its fitted sigma inflates, and the merge rule
+    # swallows the blended star (measured on this exact scene)
+    cfg = FieldConfig(sample=False, seed=2)
+    catalog, art = run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                                      cfg=cfg, priors=PRIORS)
+    return scene, srcs, catalog, art
+
+
+def test_field_detects_and_classifies(map_only_result):
+    scene, srcs, catalog, art = map_only_result
+    assert art["n_sources"] == 5
+    kinds = sorted(e.kind for e in catalog)
+    assert kinds == ["galaxy", "star", "star", "star", "star"], [
+        (e.kind, e.p_star) for e in catalog]
+    # CLEAN-ripple duplicates must not survive: every catalog entry matches
+    # a distinct truth source within 0.5''
+    truth = np.array([scene.wcs.equa2duas(s["u"]) for s in srcs])
+    est = np.array([e.du_mean for e in catalog])
+    d = np.hypot(truth[:, None, 0] - est[None, :, 0],
+                 truth[:, None, 1] - est[None, :, 1])
+    match = np.argmin(d, axis=1)
+    assert len(set(match.tolist())) == 5
+    assert float(d[np.arange(5), match].max()) < 0.5
+
+
+def test_field_groups_blend_jointly(map_only_result):
+    _, _, catalog, art = map_only_result
+    # the blended pair shares a fit group; the isolated stars don't
+    assert art["n_groups"] == 4 and art["s_max"] == 2
+    groups = [e.extras["group"] for e in catalog]
+    pair = [g for g in set(groups) if groups.count(g) == 2]
+    assert len(pair) == 1
+    pair_kinds = sorted(e.kind for e in catalog
+                        if e.extras["group"] == pair[0])
+    assert pair_kinds == ["galaxy", "star"]
+
+
+def _two_group_frame():
+    """64x64: a blended star pair (3'') + one isolated star -> 2 fit
+    groups under default linking, 1 group when link_radius is huge."""
+    srcs = [
+        star_source(u=(30.0 - 8 * ASU / COSD, 10.0 - 8 * ASU), flux_r=55.0),
+        star_source(u=(30.0 + 7 * ASU / COSD, 10.0 + 7 * ASU), flux_r=45.0),
+        star_source(u=(30.0 + (7 + 3.0) * ASU / COSD, 10.0 + 7 * ASU),
+                    flux_r=35.0),
+    ]
+    scene = make_synthetic_stamp(srcs, shape=(64, 64), bands=(2,), seed=23)
+    return scene, srcs
+
+
+def _small_cfg(**over):
+    base = dict(sample=True, seed=4, n_chains=12, probe_warmup=40,
+                probe_steps=24, n_warmup=60, n_steps=160, max_leapfrog=24,
+                map_steps=150, type_switch=False, group_cut=32,
+                group_margin_px=8)
+    base.update(over)
+    return FieldConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def factorization_pair():
+    scene, srcs = _two_group_frame()
+    cat_f, art_f = run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                                      cfg=_small_cfg(), priors=PRIORS)
+    # link radius spanning the frame -> ONE group = the exact full joint
+    cat_j, art_j = run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                                      cfg=_small_cfg(link_radius_px=1e9),
+                                      priors=PRIORS)
+    return scene, srcs, (cat_f, art_f), (cat_j, art_j)
+
+
+def test_field_posterior_recovery(factorization_pair):
+    scene, srcs, (cat_f, art_f), _ = factorization_pair
+    assert art_f["n_groups"] == 2 and len(cat_f) == 3
+    truth = sorted((tuple(np.round(scene.wcs.equa2duas(s["u"]), 1)),
+                    s["flux"][2]) for s in srcs)
+    est = sorted((tuple(np.round(e.du_mean, 1)), float(e.flux_mean[0]))
+                 for e in cat_f)
+    for (tu, tf), (eu, ef) in zip(truth, est):
+        assert np.hypot(tu[0] - eu[0], tu[1] - eu[1]) < 0.4, (truth, est)
+        assert abs(ef - tf) / tf < 0.15, (truth, est)
+    for d in art_f["diagnostics"]:
+        assert d["rhat_max"] < 1.1 and d["divergence_rate"] < 0.05, d
+
+
+def test_group_factorization_matches_full_joint(factorization_pair):
+    """The module's documented approximation: with disjoint pixel ownership
+    and neighbor-MAP effective skies, the group-factorized posterior must
+    match the full-field joint posterior within MC error."""
+    _, _, (cat_f, _), (cat_j, art_j) = factorization_pair
+    assert art_j["n_groups"] == 1
+    f = sorted(cat_f, key=lambda e: float(e.du_mean[0]))
+    j = sorted(cat_j, key=lambda e: float(e.du_mean[0]))
+    assert len(f) == len(j) == 3
+    for ef, ej in zip(f, j):
+        sf, sj = float(ef.flux_std[0]), float(ej.flux_std[0])
+        mf, mj = float(ef.flux_mean[0]), float(ej.flux_mean[0])
+        # means within 4 posterior sds pooled-MC-error-ish; stds within 35%
+        assert abs(mf - mj) < 4.0 * max(sf, sj), (mf, mj, sf, sj)
+        assert 0.65 < sf / sj < 1.55, (sf, sj)
+        du_f, du_j = np.asarray(ef.du_mean), np.asarray(ej.du_mean)
+        tol = 4.0 * float(np.maximum(ef.du_std, ej.du_std).max())
+        assert np.hypot(*(du_f - du_j)) < max(tol, 0.02), (du_f, du_j, tol)
