@@ -233,9 +233,18 @@ def _mixed_rect_logprior(rect, flags, alive, priors: SourcePriors,
 def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
                        cfg: FieldConfig = FieldConfig(),
                        priors: Optional[SourcePriors] = None,
-                       logger: Optional[MetricsLogger] = None):
+                       logger: Optional[MetricsLogger] = None,
+                       mesh=None):
     """Frame pixels -> posterior catalog at field scale (single band; the
     stamp pipeline remains the multi-band joint path for cutouts).
+
+    ``mesh``: optional 1-D :class:`jax.sharding.Mesh` — fit groups are data
+    parallel (disjoint pixels, no cross-group collectives), so the group
+    batch shards over its first axis and the sampling stage scales linearly
+    with chips.  The group count is padded to a mesh multiple with dead
+    groups (mask 0, alive 0 — their likelihood is exactly 0 and their state
+    samples the standard-normal anchor); real groups keep the exact same
+    per-group keys/x0 as the single-chip path, so results are unchanged.
 
     Returns ``(catalog, artifacts)``: a list of
     :class:`celeste_tpu.pipeline.CatalogEntry` (``extras['group']`` carries
@@ -716,11 +725,39 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
     x0b = (jnp.asarray(rect_g.reshape(n_groups, 1, d_g))
            + cfg.init_jitter * jax.random.normal(
                k_i, (n_groups, cfg.n_chains, d_g), jnp.float32))
-    samples, infos = sample_groups(
-        jax.random.split(k_s, n_groups), x0b, jnp.asarray(flg_g),
-        jnp.asarray(alv_g), jnp.asarray(g_px), jnp.asarray(g_py),
-        jnp.asarray(g_cts), jnp.asarray(g_eff), jnp.asarray(g_mk))
-    samples = np.asarray(samples)                     # [G, B, T, D_g]
+    keys_g = jax.random.split(k_s, n_groups)
+    batch = [keys_g, x0b, jnp.asarray(flg_g), jnp.asarray(alv_g),
+             jnp.asarray(g_px), jnp.asarray(g_py), jnp.asarray(g_cts),
+             jnp.asarray(g_eff), jnp.asarray(g_mk)]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_dev = int(mesh.devices.size)
+        g_pad = (-n_groups) % n_dev
+        if g_pad:
+            # dead padding groups: mask 0 (likelihood exactly 0), alive 0
+            # (standard-normal anchor prior), eff 1 (log stays finite even
+            # though masked), keys/x0 derived OUTSIDE the real groups' key
+            # stream so real-group results are bitwise those of mesh=None
+            pad_keys = jax.vmap(lambda i: jax.random.fold_in(k_s, i))(
+                jnp.arange(1 << 20, (1 << 20) + g_pad))
+            pads = [pad_keys,
+                    jnp.zeros((g_pad,) + x0b.shape[1:], x0b.dtype),
+                    jnp.zeros((g_pad, s_max), bool),
+                    jnp.zeros((g_pad, s_max), bool),
+                    jnp.tile(batch[4][:1], (g_pad, 1)),
+                    jnp.tile(batch[5][:1], (g_pad, 1)),
+                    jnp.zeros((g_pad, gcut * gcut), jnp.float32),
+                    jnp.ones((g_pad, gcut * gcut), jnp.float32),
+                    jnp.zeros((g_pad, gcut * gcut), jnp.float32)]
+            batch = [jnp.concatenate([b, p], axis=0)
+                     for b, p in zip(batch, pads)]
+        shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        batch = [jax.device_put(b, shard) for b in batch]
+        logger.log("shard_groups", n_devices=n_dev, n_groups=n_groups,
+                   padded_to=n_groups + g_pad)
+    samples, infos = sample_groups(*batch)
+    samples = np.asarray(samples)[:n_groups]          # [G, B, T, D_g]
+    infos = jax.tree_util.tree_map(lambda a: np.asarray(a)[:n_groups], infos)
     kept = samples[:, :, cfg.n_steps // 4:, :]
 
     # ---- 5. catalog --------------------------------------------------------

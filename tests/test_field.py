@@ -150,3 +150,110 @@ def test_group_factorization_matches_full_joint(factorization_pair):
         du_f, du_j = np.asarray(ef.du_mean), np.asarray(ej.du_mean)
         tol = 4.0 * float(np.maximum(ef.du_std, ej.du_std).max())
         assert np.hypot(*(du_f - du_j)) < max(tol, 0.02), (du_f, du_j, tol)
+
+
+def test_field_on_ingested_frame(tmp_path):
+    """Production-path glue: real FITS bytes -> frame_to_stamp ingest ->
+    field pipeline MAP scan.  A Poisson-noised SDSS-like frame (calibrated
+    nmgy image + calib row + gridded sky, the data model of
+    data/ingest/sdss.frame_to_stamp) with 4 known stars must come back as
+    a 4-star catalog with sub-0.5'' positions and ~10% fluxes."""
+    from celeste_tpu.data.ingest.fits_lite import (write_fits,
+                                                   write_fits_image,
+                                                   write_fits_table)
+    from celeste_tpu.data.ingest.sdss import frame_to_stamp
+    from celeste_tpu.mog import MoG2D
+
+    rng = np.random.default_rng(3)
+    h, w, gain = 120, 160, 4.6
+    var_px = 2.2                      # injected single-Gaussian PSF (px^2)
+    stars = [(40.0, 30.0, 30000.0), (100.0, 40.0, 18000.0),
+             (50.0, 90.0, 45000.0), (90.0, 80.0, 24000.0)]  # (px, py, nelec)
+    yy, xx = np.mgrid[0:h, 0:w]
+    sky_nelec = 150.0 + 20.0 * np.linspace(0, 1, h)[:, None] * np.ones((1, w))
+    nelec = sky_nelec.copy()
+    for px, py, f in stars:
+        nelec += f / (2 * np.pi * var_px) * np.exp(
+            -0.5 * ((xx - px) ** 2 + (yy - py) ** 2) / var_px)
+    nelec_obs = rng.poisson(nelec).astype(np.float64)
+
+    calib = np.full(w, 0.005, np.float64) * (
+        1 + 0.01 * np.linspace(0, 1, w))
+    dn, sky_dn = nelec_obs / gain, sky_nelec / gain
+    img = (dn - sky_dn) * calib[None, :]
+    gy, gx = 6, 8
+    ys_g, xs_g = np.linspace(0, h - 1, gy), np.linspace(0, w - 1, gx)
+    allsky = sky_dn[np.ix_(ys_g.astype(int), xs_g.astype(int))]
+    xinterp = np.interp(np.arange(w), xs_g, np.arange(gx))
+    yinterp = np.interp(np.arange(h), ys_g, np.arange(gy))
+    wcs_cards = {"CRVAL1": 30.0, "CRVAL2": 10.0,
+                 "CRPIX1": w / 2 + 0.5, "CRPIX2": h / 2 + 0.5,
+                 "CD1_1": 0.396 / 3600, "CD1_2": 0.0,
+                 "CD2_1": 0.0, "CD2_2": 0.396 / 3600}
+    path = str(tmp_path / "frame-r-000002-1-0001.fits")
+    write_fits(path, [
+        write_fits_image(img.astype(np.float32), extra_cards=wcs_cards),
+        write_fits_image(calib.astype(np.float32), primary=False),
+        write_fits_table({"ALLSKY": allsky.astype(np.float64)}),
+        write_fits_table({"XINTERP": xinterp[None, :].astype(np.float64),
+                          "YINTERP": yinterp[None, :].astype(np.float64)}),
+    ])
+
+    # the injected PSF, in the pixel-space MoG form the renderer consumes
+    psf = MoG2D(w=np.array([1.0], np.float32),
+                mu=np.zeros((1, 2), np.float32),
+                cov=(var_px * np.eye(2, dtype=np.float32))[None])
+    stamp, meta = frame_to_stamp(path, (30.0, 10.0), size=120, gain=gain,
+                                 psf=psf)
+    x0, y0 = meta["pixel_origin"]
+    iota = float(np.asarray(stamp.iota))
+
+    cfg = FieldConfig(sample=False, type_switch=False, seed=9)
+    catalog, art = run_field_pipeline(stamp, band=0, n_bands=1, cfg=cfg,
+                                      priors=PRIORS)
+    assert art["n_sources"] == 4, [(e.kind, e.du_mean) for e in catalog]
+    assert all(e.kind == "star" for e in catalog)
+
+    # truth in the stamp's frame: pixel -> arcsec offsets via the stamp WCS
+    a = np.asarray(stamp.wcs_A, np.float64)
+    p0 = np.asarray(stamp.wcs_p0, np.float64)
+    a_inv = np.linalg.inv(a)
+    truth_du = np.array([a_inv @ (np.array([px - x0, py - y0]) - p0)
+                         for px, py, _ in stars])
+    truth_flux = np.array([f for _, _, f in stars]) / iota
+    est_du = np.array([e.du_mean for e in catalog])
+    d = np.hypot(truth_du[:, None, 0] - est_du[None, :, 0],
+                 truth_du[:, None, 1] - est_du[None, :, 1])
+    match = np.argmin(d, axis=1)
+    assert len(set(match.tolist())) == 4
+    assert float(d[np.arange(4), match].max()) < 0.5
+    est_flux = np.array([float(catalog[m].flux_mean[0]) for m in match])
+    np.testing.assert_allclose(est_flux, truth_flux, rtol=0.12)
+
+
+def test_field_sharded_groups():
+    """Fit groups are data parallel: run the two-group frame with the group
+    batch sharded over the 8-device mesh (padded 2 -> 8 with dead groups)
+    and require the same catalog as the single-device path up to MC error.
+    Bitwise parity is NOT expected: padding changes the batch shape, the
+    partitioner compiles a different (equally valid) program, and chaotic
+    HMC trajectories amplify any fp difference — the posterior is gated
+    instead (same recovery bounds as test_field_posterior_recovery)."""
+    from celeste_tpu.parallel.mesh import make_mesh
+
+    scene, srcs = _two_group_frame()
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    cat, art = run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                                  cfg=_small_cfg(), priors=PRIORS, mesh=mesh)
+    assert art["n_groups"] == 2 and len(cat) == 3
+    assert art["samples"].shape[0] == 2          # padding dropped
+    truth = sorted((tuple(np.round(scene.wcs.equa2duas(s["u"]), 1)),
+                    s["flux"][2]) for s in srcs)
+    est = sorted((tuple(np.round(e.du_mean, 1)), float(e.flux_mean[0]))
+                 for e in cat)
+    for (tu, tf), (eu, ef) in zip(truth, est):
+        assert np.hypot(tu[0] - eu[0], tu[1] - eu[1]) < 0.4, (truth, est)
+        assert abs(ef - tf) / tf < 0.15, (truth, est)
+    for d in art["diagnostics"]:
+        assert d["rhat_max"] < 1.1 and d["divergence_rate"] < 0.05, d
