@@ -88,6 +88,7 @@ class FieldConfig:
 
     # -- detection ---------------------------------------------------------
     cut: int = 24                      # candidate cutout side (px)
+    detect_band_index: int = 0         # which frame drives peak finding
     detection_snr_min: float = 5.0
     detection_min_separation: int = 5
     detection_rounds: int = 3          # CLEAN rounds (detect-fit-subtract)
@@ -230,13 +231,22 @@ def _mixed_rect_logprior(rect, flags, alive, priors: SourcePriors,
 # the pipeline
 # ---------------------------------------------------------------------------
 
-def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
+def run_field_pipeline(stamp, band=0, n_bands: Optional[int] = None,
                        cfg: FieldConfig = FieldConfig(),
                        priors: Optional[SourcePriors] = None,
                        logger: Optional[MetricsLogger] = None,
                        mesh=None):
-    """Frame pixels -> posterior catalog at field scale (single band; the
-    stamp pipeline remains the multi-band joint path for cutouts).
+    """Frame pixels -> posterior catalog at field scale.
+
+    ``stamp``: one frame ``Stamp`` or a list of per-band frames (each with
+    its own WCS/PSF/calibration — frames need not be pixel-registered);
+    ``band``: the flux slot per frame (int, or a list matching ``stamp``);
+    ``n_bands`` defaults to the number of frames.  With several frames the
+    likelihood is the joint product over bands at every stage (detection
+    MAPs, classification evidences, group sampling), peaks are found on
+    ``cfg.detect_band_index``'s frame, and grouping/pixel-ownership
+    geometry lives in that frame's pixel grid (each frame's cutouts follow
+    its own WCS).
 
     ``mesh``: optional 1-D :class:`jax.sharding.Mesh` — fit groups are data
     parallel (disjoint pixels, no cross-group collectives), so the group
@@ -253,17 +263,45 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
     priors = priors or SourcePriors()
     logger = logger or MetricsLogger()
     key = jax.random.key(cfg.seed)
-    counts = np.asarray(stamp.counts, np.float64)
-    sky = np.asarray(stamp.sky, np.float64)
-    mask = np.asarray(stamp.mask, np.float64)
-    h, w = counts.shape
-    cut = int(min(cfg.cut, h, w))
+    frames = list(stamp) if isinstance(stamp, (list, tuple)) else [stamp]
+    bands = (list(band) if isinstance(band, (list, tuple))
+             else [band] * len(frames))
+    n_bands = (n_bands if n_bands is not None
+               else max(len(frames), max(bands) + 1))
+    nf = len(frames)
+    di = cfg.detect_band_index
+    counts_l = [np.asarray(st.counts, np.float64) for st in frames]
+    sky_l = [np.asarray(st.sky, np.float64) for st in frames]
+    mask_l = [np.asarray(st.mask, np.float64) for st in frames]
+    hw_l = [c.shape for c in counts_l]
+    cut = int(min([cfg.cut] + [min(s) for s in hw_l]))
     ds, gd = STAR_D(n_bands), GAL_D(n_bands)
-    a_inv = np.linalg.inv(np.asarray(stamp.wcs_A, np.float64))
-    p0 = np.asarray(stamp.wcs_p0, np.float64)
-    psf_peak = float(eval_grid(stamp.psf, jnp.zeros(()), jnp.zeros(())))
-    iota = float(np.asarray(stamp.iota))
+    a_l = [np.asarray(st.wcs_A, np.float64) for st in frames]
+    a_inv_l = [np.linalg.inv(a) for a in a_l]
+    p0_l = [np.asarray(st.wcs_p0, np.float64) for st in frames]
+    psf_peak = float(eval_grid(frames[di].psf, jnp.zeros(()), jnp.zeros(())))
+    iota = float(np.asarray(frames[di].iota))
     gal_shape_init = np.array([0.0, 0.0, 0.0, 0.5], np.float32)
+
+    def _frame_origins(du_list):
+        """Candidate arcsec offsets -> per-frame integer cutout origins
+        [nf][N, 2] (each frame's own WCS; windows clipped inside)."""
+        outs = []
+        for f in range(nf):
+            h_f, w_f = hw_l[f]
+            pos = np.asarray([p0_l[f] + a_l[f] @ np.asarray(du, np.float64)
+                              for du in du_list])
+            outs.append(np.asarray([_cut_origin(cx, cy, cut, h_f, w_f)
+                                    for cx, cy in pos]))
+        return outs
+
+    def _gather_all(origins_l, cut_, data_l):
+        """Per-frame cutout gathers -> [N, nf, P] stacked jnp arrays
+        (px, py, counts, sky, mask); vmap batch axis leads."""
+        per_f = [_gather_cutouts(origins_l[f], cut_, *data_l[f])
+                 for f in range(nf)]
+        return tuple(jnp.stack([per_f[f][k] for f in range(nf)], axis=1)
+                     for k in range(5))
 
     # ---- jitted batch programs (compiled once per run) --------------------
 
@@ -276,31 +314,40 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
                 + pc[:, None] * dy * dy)
         return jnp.sum(amp[:, None] * jnp.exp(-0.5 * quad), axis=0)
 
+    def _ll_all_frames(x, kind, pxi, pyi, c, eff, m):
+        """Joint Poisson log-likelihood of one candidate over every frame
+        (static unroll over nf; pxi/... are [nf, P])."""
+        ll = 0.0
+        for f in range(nf):
+            planes = _field_planes(x, frames[f], bands[f], kind, n_bands)
+            ll += _loglik_jnp(*(p[None] for p in planes), pxi[f][None],
+                              pyi[f][None], c[f][None], eff[f][None],
+                              m[f][None])[0]
+        return ll
+
     @jax.jit
     def det_fit_batch(x0s, px, py, cts, sk, mk):
         """Batched detection-stage star MAPs on residual-count cutouts.
-        Returns (x_maps [N, ds], sky-free fit lambdas [N, cut*cut])."""
+        Returns (x_maps [N, ds], sky-free fit lambdas [N, nf, cut*cut])."""
         def one(x0, pxi, pyi, c, s, m):
             def logd(x):
-                planes = _field_planes(x, stamp, band, "star", n_bands)
-                ll = _loglik_jnp(*(p[None] for p in planes), pxi[None],
-                                 pyi[None], c[None], s[None], m[None])[0]
+                ll = _ll_all_frames(x, "star", pxi, pyi, c, s, m)
                 p = StarParams.from_vector(x, n_bands)
                 return (ll + priors.star_logpdf(p)
                         + StarParams.log_det_jacobian(x, n_bands))
             xm, _ = map_fit(logd, x0, n_steps=cfg.map_steps)
-            lam = _lam_cut(_field_planes(xm, stamp, band, "star", n_bands),
-                           pxi, pyi)
+            lam = jnp.stack([
+                _lam_cut(_field_planes(xm, frames[f], bands[f], "star",
+                                       n_bands), pxi[f], pyi[f])
+                for f in range(nf)])
             return xm, lam
         return jax.vmap(one)(x0s, px, py, cts, sk, mk)
 
     def _cond_logd(kind):
-        """Conditional log density of one candidate on its cutout, with the
+        """Conditional log density of one candidate on its cutouts, with the
         effective sky (sky + everyone else's lambda) as traced data."""
         def logd(x, pxi, pyi, c, eff, m):
-            planes = _field_planes(x, stamp, band, kind, n_bands)
-            ll = _loglik_jnp(*(p[None] for p in planes), pxi[None],
-                             pyi[None], c[None], eff[None], m[None])[0]
+            ll = _ll_all_frames(x, kind, pxi, pyi, c, eff, m)
             if kind == "star":
                 p = StarParams.from_vector(x, n_bands)
                 return (ll + priors.star_logpdf(p)
@@ -336,21 +383,24 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
     @jax.jit
     def cand_lams(rects, flags, px, py):
         """Per-candidate sky-free lambdas on their cutouts from the current
-        rect states (traced kinds)."""
+        rect states (traced kinds); returns [N, nf, P]."""
         def one(rect, flag, pxi, pyi):
-            planes = mixed_field_planes(rect, stamp, band, n_bands, flag)
-            return _lam_cut(planes, pxi, pyi)
+            return jnp.stack([
+                _lam_cut(mixed_field_planes(rect, frames[f], bands[f],
+                                            n_bands, flag), pxi[f], pyi[f])
+                for f in range(nf)])
         return jax.vmap(one)(rects, flags, px, py)
 
     # ---- 1. detect: bulk matched filter + batched MAPs, CLEAN rounds ------
-    work = counts.copy()
-    cand_pos: list = []          # pixel (x, y)
+    work_l = [c.copy() for c in counts_l]
+    det = frames[di]
+    cand_pos: list = []          # detect-frame pixel (x, y)
     cand_x: list = []            # star MAP vectors [ds]
     snr_log: list = []
     for rnd in range(cfg.detection_rounds):
-        det_stamp = Stamp(jnp.asarray(work, jnp.float32), stamp.sky,
-                          stamp.iota, stamp.mask, stamp.psf, stamp.wcs_A,
-                          stamp.wcs_p0, stamp.band)
+        det_stamp = Stamp(jnp.asarray(work_l[di], jnp.float32), det.sky,
+                          det.iota, det.mask, det.psf, det.wcs_A,
+                          det.wcs_p0, det.band)
         peaks, snrs = detect_peaks(det_stamp, n_peaks=cfg.max_per_round,
                                    min_separation=cfg.detection_min_separation)
         sel = []
@@ -373,20 +423,25 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
             sel.append((pxk, pyk, s))
         if not sel:
             break
-        origins = np.asarray([_cut_origin(px_, py_, cut, h, w)
-                              for px_, py_, _ in sel])
-        x0s = []
+        du_sel, x0s = [], []
         for px_, py_, _ in sel:
-            du0 = a_inv @ (np.array([px_, py_]) - p0)
-            peak = max(float(work[int(py_), int(px_)]
-                             - sky[int(py_), int(px_)]), 1.0)
+            du0 = a_inv_l[di] @ (np.array([px_, py_]) - p0_l[di])
+            du_sel.append(du0)
+            peak = max(float(work_l[di][int(py_), int(px_)]
+                             - sky_l[di][int(py_), int(px_)]), 1.0)
             x0s.append(np.concatenate(
                 [du0, np.full(n_bands, np.log(peak / (iota * psf_peak)))]))
-        pd_cut = _gather_cutouts(origins, cut, work, sky, mask)
+        origins_l = _frame_origins(du_sel)
+        pd_cut = _gather_all(origins_l, cut,
+                             [(work_l[f], sky_l[f], mask_l[f])
+                              for f in range(nf)])
         x_maps, lams = jax.tree_util.tree_map(np.asarray, det_fit_batch(
             jnp.asarray(np.stack(x0s), jnp.float32), *pd_cut))
-        for k, (ox, oy) in enumerate(origins):
-            work[oy:oy + cut, ox:ox + cut] -= lams[k].reshape(cut, cut)
+        for k in range(len(sel)):
+            for f in range(nf):
+                ox, oy = origins_l[f][k]
+                work_l[f][oy:oy + cut, ox:ox + cut] -= (
+                    lams[k, f].reshape(cut, cut))
             cand_pos.append((sel[k][0], sel[k][1]))
             cand_x.append(x_maps[k])
             snr_log.append(sel[k][2])
@@ -399,12 +454,11 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
         return [], {"n_sources": 0, "n_groups": 0}
 
     # cutout origins tied to the FITTED positions (stable across sweeps)
-    fit_px = np.asarray([
-        p0 + np.asarray(stamp.wcs_A, np.float64) @ np.asarray(x[:2], np.float64)
-        for x in cand_x])
-    origins = np.asarray([_cut_origin(cx, cy, cut, h, w)
-                          for cx, cy in fit_px])
-    pd_cut = _gather_cutouts(origins, cut, counts, sky, mask)
+    origins_l = _frame_origins([np.asarray(x[:2], np.float64)
+                                for x in cand_x])
+    pd_cut = _gather_all(origins_l, cut,
+                         [(counts_l[f], sky_l[f], mask_l[f])
+                          for f in range(nf)])
     cpx, cpy = pd_cut[0], pd_cut[1]
 
     # ---- 2+3. classify: Jacobi sweeps with leave-one-out effective skies --
@@ -421,25 +475,30 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
         return r
 
     def _scatter_total(lams_np, alive_np):
-        """Scatter alive candidates' cutout lambdas into a frame canvas."""
-        canvas = np.zeros((h, w), np.float64)
-        for i, (ox, oy) in enumerate(origins):
-            if alive_np[i]:
-                canvas[oy:oy + cut, ox:ox + cut] += lams_np[i].reshape(cut, cut)
-        return canvas
+        """Scatter alive candidates' cutout lambdas ([N, nf, P]) into one
+        canvas per frame."""
+        canvas_l = [np.zeros(hw_l[f], np.float64) for f in range(nf)]
+        for f in range(nf):
+            for i, (ox, oy) in enumerate(origins_l[f]):
+                if alive_np[i]:
+                    canvas_l[f][oy:oy + cut, ox:ox + cut] += (
+                        lams_np[i, f].reshape(cut, cut))
+        return canvas_l
 
-    def _gather_eff(canvas, lams_np):
-        """Per-candidate effective sky on its cutout: sky + total - own."""
-        eff = np.empty((n_cand, cut * cut), np.float32)
-        for i, (ox, oy) in enumerate(origins):
-            tot = canvas[oy:oy + cut, ox:ox + cut].reshape(-1)
-            eff[i] = np.maximum(
-                sky[oy:oy + cut, ox:ox + cut].reshape(-1) + tot - lams_np[i],
-                1e-6)
+    def _gather_eff(canvas_l, lams_np):
+        """Per-candidate effective sky on its cutouts: sky + total - own,
+        per frame -> [N, nf, P]."""
+        eff = np.empty((n_cand, nf, cut * cut), np.float32)
+        for f in range(nf):
+            for i, (ox, oy) in enumerate(origins_l[f]):
+                tot = canvas_l[f][oy:oy + cut, ox:ox + cut].reshape(-1)
+                eff[i, f] = np.maximum(
+                    sky_l[f][oy:oy + cut, ox:ox + cut].reshape(-1)
+                    + tot - lams_np[i, f], 1e-6)
         return jnp.asarray(eff)
 
     lz_s_b = lz_g_b = None
-    lams_np = np.zeros((n_cand, cut * cut), np.float64)
+    lams_np = np.zeros((n_cand, nf, cut * cut), np.float64)
     state_prev = None
     for sweep in range(cfg.classify_sweeps):
         rects = jnp.asarray(np.stack([_rect_of(c) for c in cand]))
@@ -468,7 +527,7 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
             gain = max(lz_s, lz_g) - float(lz_0_b[i])
             if gain < cfg.prune_min_evidence:
                 below.append((gain, i))
-        cut_arcsec = cut * float(np.abs(a_inv).max())   # cutout side in arcsec
+        cut_arcsec = cut * float(np.abs(a_inv_l[di]).max())  # cutout side, ''
         pruned_now: list = []
         for _, i in sorted(below):
             xi = cand[i]["x"]
@@ -593,9 +652,12 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
         return [], {"n_sources": 0, "n_groups": 0}
 
     # ---- 4. group + sample: every group in ONE device program -------------
-    alive_pos = np.asarray([
-        p0 + np.asarray(stamp.wcs_A, np.float64)
-        @ np.asarray(cand[i]["x"][:2], np.float64) for i in alive_idx])
+    # grouping/ownership geometry lives in the detect frame's pixel grid;
+    # each frame also gets its own pixel positions for per-frame ownership
+    alive_du = [np.asarray(cand[i]["x"][:2], np.float64) for i in alive_idx]
+    alive_pos_l = [np.asarray([p0_l[f] + a_l[f] @ du for du in alive_du])
+                   for f in range(nf)]
+    alive_pos = alive_pos_l[di]
     labels = union_groups(alive_pos, cfg.link_radius_px)
     n_groups = int(labels.max()) + 1
     members = [[alive_idx[k] for k in np.nonzero(labels == g)[0]]
@@ -626,8 +688,7 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
         pts = alive_pos[[alive_idx.index(i) for i in mem]]
         ext = float(max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1])))
         need = max(need, int(np.ceil(ext)) + 2 * cfg.group_margin_px)
-    gcut = int(min(-(-need // 8) * 8, max(h, w)))
-    gcut = min(gcut, min(h, w))
+    gcut = int(min([-(-need // 8) * 8] + [min(s) for s in hw_l]))
 
     # final per-candidate lambdas for neighbor-group effective skies
     rects_f = jnp.asarray(np.stack([_rect_of(c) for c in cand]))
@@ -635,42 +696,55 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
     alive_f = np.asarray([c["alive"] for c in cand])
     lams_f = np.asarray(cand_lams(rects_f, flags_f, cpx, cpy), np.float64)
     lams_f[~alive_f] = 0.0
-    canvas = _scatter_total(lams_f, alive_f)
+    canvas_l = _scatter_total(lams_f, alive_f)
 
-    g_orig = []
+    group_du = []
     for mem in members:
-        pts = alive_pos[[alive_idx.index(i) for i in mem]]
-        cx, cy = float(pts[:, 0].mean()), float(pts[:, 1].mean())
-        g_orig.append(_cut_origin(cx, cy, gcut, h, w))
-    g_px, g_py, g_cts, g_sky, g_mk = [np.array(a) for a in _gather_cutouts(
-        np.asarray(g_orig), gcut, counts, sky, mask)]
+        dus = np.stack([alive_du[alive_idx.index(i)] for i in mem])
+        group_du.append(dus.mean(axis=0))
+    g_orig_l = []
+    for f in range(nf):
+        h_f, w_f = hw_l[f]
+        pos = [p0_l[f] + a_l[f] @ du for du in group_du]
+        g_orig_l.append(np.asarray([_cut_origin(cx, cy, gcut, h_f, w_f)
+                                    for cx, cy in pos]))
+    per_f = [[np.array(a) for a in _gather_cutouts(
+        g_orig_l[f], gcut, counts_l[f], sky_l[f], mask_l[f])]
+        for f in range(nf)]
+    # [G, nf, Pg] stacks (px, py, counts, sky, mask)
+    g_px, g_py, g_cts, g_sky, g_mk = [
+        np.stack([per_f[f][k] for f in range(nf)], axis=1) for k in range(5)]
 
     # pixel ownership: each frame pixel belongs to the group of its nearest
-    # alive candidate — group likelihoods never double-count a pixel
+    # alive candidate (in THAT frame's pixel grid) — group likelihoods never
+    # double-count a pixel in any band
     own_lab = labels  # per alive candidate
     g_eff = np.empty_like(g_sky)
-    for g, (ox, oy) in enumerate(g_orig):
-        pxg, pyg = g_px[g], g_py[g]
-        d2 = ((pxg[None, :] - alive_pos[:, 0][:, None]) ** 2
-              + (pyg[None, :] - alive_pos[:, 1][:, None]) ** 2)
-        owner = own_lab[np.argmin(d2, axis=0)]
-        g_mk[g] = g_mk[g] * (owner == g)
-        # neighbor groups' MAP lambdas -> effective sky on this cutout
-        tot = canvas[oy:oy + gcut, ox:ox + gcut].reshape(-1)
-        own = np.zeros(gcut * gcut, np.float64)
-        for i in members[g]:
-            ox_i, oy_i = origins[i]
-            x0, y0 = max(ox_i, ox), max(oy_i, oy)
-            x1 = min(ox_i + cut, ox + gcut)
-            y1 = min(oy_i + cut, oy + gcut)
-            if x1 <= x0 or y1 <= y0:
-                continue
-            patch = lams_f[i].reshape(cut, cut)[
-                y0 - oy_i:y1 - oy_i, x0 - ox_i:x1 - ox_i]
-            blk = own.reshape(gcut, gcut)
-            blk[y0 - oy:y1 - oy, x0 - ox:x1 - ox] += patch
-        g_eff[g] = np.maximum(
-            g_sky[g] + np.maximum(tot - own, 0.0), 1e-6)
+    for f in range(nf):
+        ap = alive_pos_l[f]
+        for g in range(n_groups):
+            ox, oy = g_orig_l[f][g]
+            pxg, pyg = g_px[g, f], g_py[g, f]
+            d2 = ((pxg[None, :] - ap[:, 0][:, None]) ** 2
+                  + (pyg[None, :] - ap[:, 1][:, None]) ** 2)
+            owner = own_lab[np.argmin(d2, axis=0)]
+            g_mk[g, f] = g_mk[g, f] * (owner == g)
+            # neighbor groups' MAP lambdas -> effective sky on this cutout
+            tot = canvas_l[f][oy:oy + gcut, ox:ox + gcut].reshape(-1)
+            own = np.zeros(gcut * gcut, np.float64)
+            for i in members[g]:
+                ox_i, oy_i = origins_l[f][i]
+                x0, y0 = max(ox_i, ox), max(oy_i, oy)
+                x1 = min(ox_i + cut, ox + gcut)
+                y1 = min(oy_i + cut, oy + gcut)
+                if x1 <= x0 or y1 <= y0:
+                    continue
+                patch = lams_f[i, f].reshape(cut, cut)[
+                    y0 - oy_i:y1 - oy_i, x0 - ox_i:x1 - ox_i]
+                blk = own.reshape(gcut, gcut)
+                blk[y0 - oy:y1 - oy, x0 - ox:x1 - ox] += patch
+            g_eff[g, f] = np.maximum(
+                g_sky[g, f] + np.maximum(tot - own, 0.0), 1e-6)
 
     # rectangular group states [G, S_max, GAL_D] + traced flags/alive
     rect_g = np.zeros((n_groups, s_max, gd), np.float32)
@@ -686,13 +760,17 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
 
     def group_logd(x, flg, alv, pxg, pyg, ctsg, effg, mkg):
         rect = x.reshape(s_max, gd)
-        planes = jax.vmap(
-            lambda v, f: mixed_field_planes(v, stamp, band, n_bands, f)
-        )(rect, flg)
-        amp = planes[0] * alv[:, None]
-        flat = tuple(p.reshape(1, -1) for p in (amp,) + planes[1:])
-        ll = _loglik_jnp(*flat, pxg[None], pyg[None], ctsg[None],
-                         effg[None], mkg[None], centered=True)[0]
+        ll = 0.0
+        for f in range(nf):
+            planes = jax.vmap(
+                lambda v, fl: mixed_field_planes(v, frames[f], bands[f],
+                                                 n_bands, fl)
+            )(rect, flg)
+            amp = planes[0] * alv[:, None]
+            flat = tuple(p.reshape(1, -1) for p in (amp,) + planes[1:])
+            ll += _loglik_jnp(*flat, pxg[f][None], pyg[f][None],
+                              ctsg[f][None], effg[f][None], mkg[f][None],
+                              centered=True)[0]
         return ll + _mixed_rect_logprior(rect, flg, alv, priors, n_bands)
 
     @jax.jit
@@ -744,11 +822,11 @@ def run_field_pipeline(stamp, band: int = 0, n_bands: int = 1,
                     jnp.zeros((g_pad,) + x0b.shape[1:], x0b.dtype),
                     jnp.zeros((g_pad, s_max), bool),
                     jnp.zeros((g_pad, s_max), bool),
-                    jnp.tile(batch[4][:1], (g_pad, 1)),
-                    jnp.tile(batch[5][:1], (g_pad, 1)),
-                    jnp.zeros((g_pad, gcut * gcut), jnp.float32),
-                    jnp.ones((g_pad, gcut * gcut), jnp.float32),
-                    jnp.zeros((g_pad, gcut * gcut), jnp.float32)]
+                    jnp.tile(batch[4][:1], (g_pad, 1, 1)),
+                    jnp.tile(batch[5][:1], (g_pad, 1, 1)),
+                    jnp.zeros((g_pad, nf, gcut * gcut), jnp.float32),
+                    jnp.ones((g_pad, nf, gcut * gcut), jnp.float32),
+                    jnp.zeros((g_pad, nf, gcut * gcut), jnp.float32)]
             batch = [jnp.concatenate([b, p], axis=0)
                      for b, p in zip(batch, pads)]
         shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))

@@ -257,3 +257,38 @@ def test_field_sharded_groups():
         assert abs(ef - tf) / tf < 0.15, (truth, est)
     for d in art["diagnostics"]:
         assert d["rhat_max"] < 1.1 and d["divergence_rate"] < 0.05, d
+
+
+def test_field_multiband_joint():
+    """Two-band frames through the field pipeline: the joint likelihood
+    must recover per-band fluxes AND tighten the position posterior vs the
+    single-band run (two bands of photons constrain u twice as hard —
+    same physics as tests/test_e2e_multiband.py, here through the frame
+    path)."""
+    srcs = [
+        star_source(u=(30.0 - 8 * ASU / COSD, 10.0 - 8 * ASU), flux_r=55.0),
+        star_source(u=(30.0 + 8 * ASU / COSD, 10.0 + 8 * ASU), flux_r=45.0),
+    ]
+    scene = make_synthetic_stamp(srcs, shape=(64, 64), bands=(1, 2), seed=31)
+    cfg = _small_cfg(type_switch=False)
+    cat2, art2 = run_field_pipeline(scene.stamps, band=[0, 1], n_bands=2,
+                                    cfg=cfg, priors=PRIORS)
+    assert len(cat2) == 2 and all(e.kind == "star" for e in cat2)
+    truth = sorted((tuple(np.round(scene.wcs.equa2duas(s["u"]), 1)),
+                    s["flux"][1], s["flux"][2]) for s in srcs)
+    est = sorted((tuple(np.round(e.du_mean, 1)), float(e.flux_mean[0]),
+                  float(e.flux_mean[1])) for e in cat2)
+    for (tu, tf1, tf2), (eu, ef1, ef2) in zip(truth, est):
+        assert np.hypot(tu[0] - eu[0], tu[1] - eu[1]) < 0.4, (truth, est)
+        assert abs(ef1 - tf1) / tf1 < 0.15, (truth, est)
+        assert abs(ef2 - tf2) / tf2 < 0.15, (truth, est)
+    for d in art2["diagnostics"]:
+        assert d["rhat_max"] < 1.1 and d["divergence_rate"] < 0.05, d
+
+    # single-band run on band 2 alone: du posterior must be LOOSER
+    cat1, _ = run_field_pipeline(scene.stamps[1], band=0, n_bands=1,
+                                 cfg=cfg, priors=PRIORS)
+    assert len(cat1) == 2
+    du_std2 = np.mean([np.mean(e.du_std) for e in cat2])
+    du_std1 = np.mean([np.mean(e.du_std) for e in cat1])
+    assert du_std2 < du_std1, (du_std2, du_std1)
