@@ -249,6 +249,7 @@ def _bench_evals_per_sec():
         RESULT[f"evals_per_sec_{impl}"] = rate
         RESULT["value"] = max(rates.values())
         RESULT["vs_baseline"] = RESULT["value"] / ORACLE_EVAL_RATE
+        _save_state()   # a parent emit mid-stage keeps finished impls
 
 
 def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
@@ -287,6 +288,7 @@ def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
     print(f"# config5 tiled-dense parity {gap_abs:.3f} "
           f"(rel {gap_rel:.2e}, ok={RESULT['tiled_dense_parity_ok']})",
           file=sys.stderr)
+    _save_state()
 
     prep = config5_warmup_and_whiten(logd, vec, n_chains=n_chains,
                                      n_warmup=n_warmup,
@@ -297,6 +299,7 @@ def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
     RESULT["tiled_divergence_frac"] = div
     if ORACLE_CONFIG5_ESS_RATE:
         RESULT["ess_vs_oracle_config5"] = rate_min / ORACLE_CONFIG5_ESS_RATE
+    _save_state()   # the ChEES arm may outlive the budget; keep NUTS
     try:
         rate_chees, _acc, _nl = measure_chees_z(prep)
         RESULT["ess_per_sec_tiled_chees"] = rate_chees
@@ -362,6 +365,15 @@ def _bench_ess_per_sec():
           f"{float(jnp.mean(info.diverged.astype(jnp.float32))):.4f}", file=sys.stderr)
     RESULT["ess_per_sec_crowded"] = rate_min
     RESULT["ess_vs_oracle"] = rate_min / ORACLE_CROWDED_ESS_RATE
+    _save_state()   # the ChEES arm may outlive the budget; keep NUTS
+
+    if _remaining() < 120.0:
+        # the arm costs ~100 s cold (warmup compile + run compile + run);
+        # starting it with less guarantees a parent kill mid-compile that
+        # also starves every later stage (measured: the r3 rehearsal lost
+        # photoz/tiled/config5 to exactly this)
+        print("# crowded ChEES arm skipped (budget)", file=sys.stderr)
+        return
 
     # ChEES arm from the same warmed ensemble: pool the NUTS samples into a
     # dense metric, adapt (eps, T) on the whitened target, then time ONE

@@ -60,7 +60,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from celeste_tpu.inference.chees import chees_warmup, run_chees_ensemble
+from celeste_tpu.inference.chees import (
+    chees_warmup,
+    chees_warmup_finish,
+    chees_warmup_init,
+    chees_warmup_window,
+    run_chees_ensemble,
+)
 from celeste_tpu.inference.diagnostics import summarize
 from celeste_tpu.inference.map_fit import detect_peaks, map_fit
 from celeste_tpu.inference.model_select import laplace_evidence
@@ -130,6 +136,17 @@ class FieldConfig:
     max_leapfrog: int = 64
     init_step_size: float = 0.02
     init_jitter: float = 0.01
+    # -- segmented execution -------------------------------------------------
+    # Steps per device call for the group-sampling stage (None = one
+    # monolithic jit).  The axon tunnel kills device calls in the 60-120 s
+    # band (DESIGN.md §3); a survey-scale field's monolithic sampling call
+    # crosses that long before the science does.  Segments run the exact
+    # key/Halton streams of the monolithic program (pre-split key slices +
+    # start_iter offsets, bitwise at the kernel level — tests/test_chees.py);
+    # whole-pipeline equality is gated at posterior level because XLA
+    # program-boundary fusion differs in the last ulp (tests/test_field.py).
+    sample_segment: Optional[int] = None
+    warmup_window: Optional[int] = None  # warmup iters per call (default: seg)
     seed: int = 0
 
 
@@ -799,6 +816,126 @@ def run_field_pipeline(stamp, band=0, n_bands: Optional[int] = None,
             return to_x(samples_z), infos
         return jax.vmap(one)(keys, x0b, flg, alv, pxg, pyg, ctsg, effg, mkg)
 
+    def sample_groups_segmented(keys, x0b, flg, alv, pxg, pyg, ctsg, effg,
+                                mkg):
+        """``sample_groups`` as host-looped bounded device calls: the same
+        probe -> whiten -> warmup -> run program, each warmup window /
+        sampling segment its own jitted call of ``cfg.warmup_window`` /
+        ``cfg.sample_segment`` steps.  Pre-split key slices and Halton
+        ``start_iter`` offsets reproduce the monolithic jit's key/jitter
+        streams exactly (bitwise at the kernel level —
+        tests/test_chees.py::test_run_chees_presplit_keys_compose); the
+        whole-pipeline composition is gated at posterior level instead,
+        because each stage is its own XLA program and program-boundary
+        fusion differs in the last ulp, which chaotic trajectories
+        amplify (measured on the two-group frame: a group's real columns
+        stay bitwise equal until whitening couples them to a dead-padding
+        dim — tests/test_field.py documents it).  Segmenting buys
+        axon-kill-edge robustness and per-segment progress events; stage
+        carries are ordinary pytrees, so a checkpoint between any two
+        calls resumes that execution exactly (SURVEY.md §5.4 pattern)."""
+        seg = int(cfg.sample_segment)
+        wwin = int(cfg.warmup_window or seg)
+        dat = (flg, alv, pxg, pyg, ctsg, effg, mkg)
+
+        def _logd(fl, al, px_, py_, ct, ef, mk):
+            return lambda x: group_logd(x, fl, al, px_, py_, ct, ef, mk)
+
+        # the EXACT key tree of the monolithic path: split(kg, 4) per group,
+        # then each stage key pre-split to its total step count so window
+        # slices reproduce the in-jit split(key, n) streams
+        ks = jax.vmap(lambda k: jax.random.split(k, 4))(keys)
+        wk1 = jax.vmap(lambda k: jax.random.split(k, cfg.probe_warmup))(
+            ks[:, 0])
+        pk2 = jax.vmap(lambda k: jax.random.split(k, cfg.probe_steps))(
+            ks[:, 1])
+        wk3 = jax.vmap(lambda k: jax.random.split(k, cfg.n_warmup))(ks[:, 2])
+        rk4 = jax.vmap(lambda k: jax.random.split(k, cfg.n_steps))(ks[:, 3])
+
+        @jax.jit
+        def init_raw(x0, *d):
+            return jax.vmap(lambda x, *dd: chees_warmup_init(
+                x, _logd(*dd), init_step_size=cfg.init_step_size))(x0, *d)
+
+        @jax.jit
+        def raw_window(kseg, carry, *d):
+            return jax.vmap(lambda kw, c, *dd: chees_warmup_window(
+                kw, _logd(*dd), c, n_iters=kw.shape[0],
+                init_step_size=cfg.init_step_size,
+                max_leapfrog=cfg.max_leapfrog))(kseg, carry, *d)
+
+        @jax.jit
+        def run_raw(kseg, st_, eps, traj, i0, *d):
+            def one(kw, s, e, t, *dd):
+                return run_chees_ensemble(
+                    kw, _logd(*dd), s, n_steps=kw.shape[0], step_size=e,
+                    trajectory_length=t, max_leapfrog=cfg.max_leapfrog,
+                    start_iter=i0)
+            return jax.vmap(one)(kseg, st_, eps, traj, *d)
+
+        @jax.jit
+        def whiten_init(probe, st_xs, *d):
+            def one(p, xs, *dd):
+                m, c = ensemble_covariance(p[:, ::2], ridge=1e-4)
+                lz, _, tz = whiten_logdensity(_logd(*dd), m, c)
+                return m, c, chees_warmup_init(tz(xs), lz,
+                                               init_step_size=0.3)
+            return jax.vmap(one)(probe, st_xs, *d)
+
+        @jax.jit
+        def z_window(kseg, carry, m, c, *d):
+            def one(kw, cr, mi, ci, *dd):
+                lz, _, _ = whiten_logdensity(_logd(*dd), mi, ci)
+                return chees_warmup_window(kw, lz, cr, n_iters=kw.shape[0],
+                                           init_step_size=0.3,
+                                           max_leapfrog=cfg.max_leapfrog)
+            return jax.vmap(one)(kseg, carry, m, c, *d)
+
+        @jax.jit
+        def run_z(kseg, st_, eps, traj, i0, m, c, *d):
+            def one(kw, s, e, t, mi, ci, *dd):
+                lz, tx, _ = whiten_logdensity(_logd(*dd), mi, ci)
+                sz, s2, info = run_chees_ensemble(
+                    kw, lz, s, n_steps=kw.shape[0], step_size=e,
+                    trajectory_length=t, max_leapfrog=cfg.max_leapfrog,
+                    start_iter=i0)
+                return tx(sz), s2, info
+            return jax.vmap(one)(kseg, st_, eps, traj, m, c, *d)
+
+        carry = init_raw(x0b, *dat)
+        for off in range(0, cfg.probe_warmup, wwin):
+            carry = raw_window(wk1[:, off:off + wwin], carry, *dat)
+            jax.block_until_ready(carry)
+        st1, eps1, traj1 = jax.jit(jax.vmap(chees_warmup_finish))(carry)
+
+        probe_parts, st = [], st1
+        for off in range(0, cfg.probe_steps, seg):
+            p, st, _ = run_raw(pk2[:, off:off + seg], st, eps1, traj1,
+                               jnp.int32(off), *dat)
+            jax.block_until_ready(st)
+            probe_parts.append(p)
+        probe = jnp.concatenate(probe_parts, axis=2)       # [G, B, T, D]
+
+        m_h, c_h, zcarry = whiten_init(probe, st.xs, *dat)
+        for off in range(0, cfg.n_warmup, wwin):
+            zcarry = z_window(wk3[:, off:off + wwin], zcarry, m_h, c_h, *dat)
+            jax.block_until_ready(zcarry)
+        st2, eps2, traj2 = jax.jit(jax.vmap(chees_warmup_finish))(zcarry)
+
+        parts, info_parts, stz = [], [], st2
+        for off in range(0, cfg.n_steps, seg):
+            sx, stz, info = run_z(rk4[:, off:off + seg], stz, eps2, traj2,
+                                  jnp.int32(off), m_h, c_h, *dat)
+            jax.block_until_ready(stz)
+            parts.append(sx)
+            info_parts.append(info)
+            logger.log("field_sample_segment",
+                       done=min(off + seg, cfg.n_steps), total=cfg.n_steps)
+        samples = jnp.concatenate(parts, axis=2)
+        infos = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=1), *info_parts)
+        return samples, infos
+
     k_s, k_i = jax.random.split(jax.random.fold_in(key, 5))
     x0b = (jnp.asarray(rect_g.reshape(n_groups, 1, d_g))
            + cfg.init_jitter * jax.random.normal(
@@ -833,7 +970,9 @@ def run_field_pipeline(stamp, band=0, n_bands: Optional[int] = None,
         batch = [jax.device_put(b, shard) for b in batch]
         logger.log("shard_groups", n_devices=n_dev, n_groups=n_groups,
                    padded_to=n_groups + g_pad)
-    samples, infos = sample_groups(*batch)
+    sampler = (sample_groups if cfg.sample_segment is None
+               else sample_groups_segmented)
+    samples, infos = sampler(*batch)
     samples = np.asarray(samples)[:n_groups]          # [G, B, T, D_g]
     infos = jax.tree_util.tree_map(lambda a: np.asarray(a)[:n_groups], infos)
     kept = samples[:, :, cfg.n_steps // 4:, :]

@@ -262,7 +262,13 @@ def run_chees_ensemble(key, logdensity_fn, state: ChEESState, n_steps: int,
     (samples [B, n_steps, D], final state, ChEESInfo of per-step means).
 
     ``start_iter`` offsets the Halton jitter index so segmented runs
-    continue the low-discrepancy sequence instead of repeating it."""
+    continue the low-discrepancy sequence instead of repeating it.
+
+    ``key`` may be a single typed key (split internally) or a pre-split
+    [n_steps] key array — pass consecutive slices of one
+    ``jax.random.split(key, total)`` together with matching ``start_iter``
+    offsets to make bounded segments compose bitwise with one monolithic
+    run (the field pipeline's segmented group sampler relies on this)."""
     vg = value_and_grad_of(logdensity_fn)
     d = state.xs.shape[-1]
     inv_mass = jnp.ones((d,), jnp.float32)
@@ -289,7 +295,13 @@ def run_chees_ensemble(key, logdensity_fn, state: ChEESState, n_steps: int,
                          divergence_rate=jnp.mean(diverged.astype(jnp.float32)))
         return new, (new.xs, info)
 
-    keys = jax.random.split(key, n_steps)
+    if not jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        raise TypeError(
+            "run_chees_ensemble requires typed PRNG keys (jax.random.key); "
+            "a raw uint32 jax.random.PRNGKey has shape (2,) and is "
+            "indistinguishable from a pre-split key array here")
+    keys = key if key.ndim == 1 else jax.random.split(key, n_steps)
+    assert keys.shape[0] == n_steps
     idx = start_iter + jnp.arange(n_steps)
     state, (samples, infos) = jax.lax.scan(step, state, (keys, idx))
     return jnp.swapaxes(samples, 0, 1), state, infos

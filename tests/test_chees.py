@@ -8,6 +8,7 @@ adapted trajectory length scales with the target's widest direction.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -149,3 +150,42 @@ def test_chees_init_state_shapes():
     assert st.grads.shape == (8, 3)
     lp = np.asarray(jax.vmap(logdensity)(xs))
     np.testing.assert_allclose(np.asarray(st.logps), lp, rtol=1e-5)
+
+
+def test_run_chees_presplit_keys_compose():
+    """Pre-split key slices + Halton start_iter offsets make bounded
+    run_chees_ensemble segments reproduce the monolithic call's streams
+    EXACTLY — the invariant the field pipeline's segmented group sampler
+    is built on (celeste_tpu/field.py).  Bitwise here, where both sides
+    execute the same per-step program; whole-pipeline composition is
+    gated statistically instead (program-boundary fusion differs in the
+    last ulp — tests/test_field.py documents the measurement)."""
+    def mono(k, xs):
+        st = chees_init(xs, logdensity)
+        s, _, _ = run_chees_ensemble(k, logdensity, st, n_steps=6,
+                                     step_size=0.3, trajectory_length=1.0)
+        return s
+
+    def segd(k, xs):
+        st = chees_init(xs, logdensity)
+        ks = jax.random.split(k, 6)
+        s1, st, _ = run_chees_ensemble(ks[:4], logdensity, st, n_steps=4,
+                                       step_size=0.3, trajectory_length=1.0,
+                                       start_iter=0)
+        s2, st, _ = run_chees_ensemble(ks[4:], logdensity, st, n_steps=2,
+                                       step_size=0.3, trajectory_length=1.0,
+                                       start_iter=4)
+        return jnp.concatenate([s1, s2], axis=1)
+
+    keys = jax.random.split(jax.random.key(0), 3)
+    xs = jax.random.normal(jax.random.key(1), (3, 5, 3))
+    a = jax.vmap(mono)(keys, xs)
+    b = jax.vmap(segd)(keys, xs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_chees_rejects_raw_uint32_keys():
+    st = chees_init(jax.random.normal(jax.random.key(2), (4, 3)), logdensity)
+    with pytest.raises(TypeError, match="typed PRNG keys"):
+        run_chees_ensemble(jax.random.PRNGKey(0), logdensity, st, n_steps=2,
+                           step_size=0.3, trajectory_length=1.0)

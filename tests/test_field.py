@@ -292,3 +292,48 @@ def test_field_multiband_joint():
     du_std2 = np.mean([np.mean(e.du_std) for e in cat2])
     du_std1 = np.mean([np.mean(e.du_std) for e in cat1])
     assert du_std2 < du_std1, (du_std2, du_std1)
+
+
+def test_field_segmented_sampling_matches_monolithic():
+    """cfg.sample_segment turns the group-sampling stage into bounded
+    device calls (axon kill-edge robustness at survey scale) with the
+    SAME key/Halton streams as the monolithic jit: pre-split key slices
+    reproduce the in-jit split(key, n) streams and start_iter offsets
+    continue the jitter sequence (pinned bitwise at the kernel level by
+    tests/test_chees.py::test_run_chees_presplit_keys_compose).  Whole-
+    pipeline bitwise equality is NOT expected: each stage is its own XLA
+    program and program-boundary fusion differs at the ulp level, which
+    chaotic trajectories amplify through the dead-padding dims (measured:
+    a group's real columns stay bitwise equal until whitening couples
+    them to a padding dim).  The gate is therefore posterior-level and
+    tight, plus identical diagnostics on the real columns.  Segment sizes
+    deliberately do NOT divide the totals (remainder windows retrace at a
+    new shape but must not change the streams)."""
+    scene, _ = _two_group_frame()
+    kw = dict(n_chains=8, probe_warmup=20, probe_steps=8, n_warmup=20,
+              n_steps=20, map_steps=60)
+    cat_m, art_m = run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                                      cfg=_small_cfg(**kw), priors=PRIORS)
+    cat_s, art_s = run_field_pipeline(
+        scene.stamps[0], band=0, n_bands=1,
+        cfg=_small_cfg(sample_segment=8, warmup_window=9, **kw),
+        priors=PRIORS)
+    assert art_m["samples"].shape == art_s["samples"].shape
+    assert len(cat_m) == len(cat_s)
+    for em, es in zip(cat_m, cat_s):
+        assert em.kind == es.kind
+        # same chains, same proposals, ulp-seeded divergence only: means
+        # agree far inside MC error, spreads to ~25%
+        sf = max(float(em.flux_std[0]), float(es.flux_std[0]))
+        assert abs(float(em.flux_mean[0]) - float(es.flux_mean[0])) < sf, \
+            (em.flux_mean, es.flux_mean, sf)
+        du_tol = max(float(np.max(em.du_std)), float(np.max(es.du_std)),
+                     0.005)
+        assert np.hypot(*(np.asarray(em.du_mean) - es.du_mean)) < du_tol
+        assert 0.75 < sf / max(min(float(em.flux_std[0]),
+                                   float(es.flux_std[0])), 1e-9) < 1.34
+    dm = {d["group"]: d for d in art_m["diagnostics"]}
+    for d in art_s["diagnostics"]:
+        assert d["rhat_max"] < 1.15 and d["divergence_rate"] < 0.05, d
+        assert abs(d["ess_min"] - dm[d["group"]]["ess_min"]) \
+            < 0.5 * dm[d["group"]]["ess_min"]
