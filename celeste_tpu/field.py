@@ -52,6 +52,8 @@ every stage (no per-cutout Stamp objects, no wcs_p0 shifting).
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -61,6 +63,9 @@ import jax
 import jax.numpy as jnp
 
 from celeste_tpu.inference.chees import (
+    ChEESAdaptState,
+    ChEESInfo,
+    ChEESState,
     chees_warmup,
     chees_warmup_finish,
     chees_warmup_init,
@@ -81,6 +86,7 @@ from celeste_tpu.model.priors import SourcePriors
 from celeste_tpu.model.stamp import Stamp
 from celeste_tpu.mog import eval_grid
 from celeste_tpu.pipeline import CatalogEntry
+from celeste_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from celeste_tpu.utils.metrics import MetricsLogger
 
 STAR_D = lambda b: 2 + b      # noqa: E731 — mirrors parallel.crowded
@@ -147,6 +153,13 @@ class FieldConfig:
     # program-boundary fusion differs in the last ulp (tests/test_field.py).
     sample_segment: Optional[int] = None
     warmup_window: Optional[int] = None  # warmup iters per call (default: seg)
+    # Checkpoint file for the segmented sampling stage (requires
+    # sample_segment).  Saved atomically at every window/segment boundary;
+    # re-running the pipeline with the same path resumes the sampling
+    # exactly where it stopped (detection/classification recompute — they
+    # are deterministic and cheap next to survey-scale sampling).  The
+    # resumed run is bitwise the uninterrupted segmented run.
+    checkpoint_path: Optional[str] = None
     seed: int = 0
 
 
@@ -242,6 +255,59 @@ def _mixed_rect_logprior(rect, flags, alive, priors: SourcePriors,
     lp_row = jnp.where(flags, lp_star, lp_gal)
     anchor = -0.5 * jnp.sum(rect * rect, axis=-1)
     return jnp.sum(jnp.where(alive, lp_row, anchor), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# sampling-stage checkpoint (SURVEY.md §5.4 at field scale)
+# ---------------------------------------------------------------------------
+
+class _SegCkpt:
+    """Phase-aware checkpoint for the segmented group sampler: ONE file,
+    overwritten atomically at every window/segment boundary, holding the
+    phase name, the intra-phase offset, and the phase carry (a plain
+    pytree — utils/checkpoint.py validates treedef + leaf shapes/dtypes on
+    load, and a fingerprint of the initial chain states rejects a stale
+    file from a different field/seed).  Each phase's carry contains
+    everything later phases need, so a resume skips completed phases
+    entirely and replays none of the device work.  ``path=None`` makes
+    every method a no-op (the non-checkpointed segmented path)."""
+
+    ORDER = ("raw_warmup", "probe", "z_warmup", "run")
+
+    def __init__(self, path: Optional[str], fingerprint: float):
+        self.path, self.fp = path, float(fingerprint)
+        self.phase: Optional[str] = None
+        self.off = 0
+        if path and os.path.exists(path):
+            data = np.load(path, allow_pickle=False)
+            meta = json.loads(str(data["__meta__"]))
+            ex = meta.get("extra", {})
+            fp = float(ex.get("fp", self.fp))
+            if abs(fp - self.fp) > 1e-6 * max(1.0, abs(self.fp)):
+                raise ValueError(
+                    f"field checkpoint {path} belongs to a different run "
+                    f"(fingerprint {fp!r} != {self.fp!r}): same path, "
+                    "different frame/seed/config — delete it or point "
+                    "cfg.checkpoint_path elsewhere")
+            self.phase, self.off = ex["phase"], int(meta["step"])
+
+    def past(self, phase: str) -> bool:
+        return (self.phase is not None
+                and self.ORDER.index(self.phase) > self.ORDER.index(phase))
+
+    def at(self, phase: str) -> bool:
+        return self.phase == phase
+
+    def load(self, like):
+        state, step, _ = load_checkpoint(self.path, like)
+        return state, int(step)
+
+    def save(self, phase: str, carry, off: int) -> None:
+        if not self.path:
+            return
+        save_checkpoint(self.path, carry, step=off,
+                        extra={"phase": phase, "fp": self.fp})
+        self.phase, self.off = phase, off
 
 
 # ---------------------------------------------------------------------------
@@ -902,39 +968,114 @@ def run_field_pipeline(stamp, band=0, n_bands: Optional[int] = None,
                 return tx(sz), s2, info
             return jax.vmap(one)(kseg, st_, eps, traj, m, c, *d)
 
-        carry = init_raw(x0b, *dat)
-        for off in range(0, cfg.probe_warmup, wwin):
-            carry = raw_window(wk1[:, off:off + wwin], carry, *dat)
-            jax.block_until_ready(carry)
-        st1, eps1, traj1 = jax.jit(jax.vmap(chees_warmup_finish))(carry)
+        # fixed-structure zero templates: the checkpoint loader validates
+        # treedef + leaf shapes/dtypes against these, so a stale file from
+        # a different field/config fails loudly instead of resuming wrong
+        gb, nb, dg_ = x0b.shape
+        f32 = np.float32
 
-        probe_parts, st = [], st1
-        for off in range(0, cfg.probe_steps, seg):
-            p, st, _ = run_raw(pk2[:, off:off + seg], st, eps1, traj1,
-                               jnp.int32(off), *dat)
-            jax.block_until_ready(st)
-            probe_parts.append(p)
-        probe = jnp.concatenate(probe_parts, axis=2)       # [G, B, T, D]
+        def z_state():
+            return ChEESState(xs=np.zeros((gb, nb, dg_), f32),
+                              logps=np.zeros((gb, nb), f32),
+                              grads=np.zeros((gb, nb, dg_), f32))
 
-        m_h, c_h, zcarry = whiten_init(probe, st.xs, *dat)
-        for off in range(0, cfg.n_warmup, wwin):
-            zcarry = z_window(wk3[:, off:off + wwin], zcarry, m_h, c_h, *dat)
-            jax.block_until_ready(zcarry)
-        st2, eps2, traj2 = jax.jit(jax.vmap(chees_warmup_finish))(zcarry)
+        def z_adapt():
+            return ChEESAdaptState(*(np.zeros((gb,), f32) for _ in range(8)))
 
-        parts, info_parts, stz = [], [], st2
-        for off in range(0, cfg.n_steps, seg):
+        def z_scal():
+            return np.zeros((gb,), f32)
+
+        def z_info(n):
+            return ChEESInfo(accept_rate=np.zeros((gb, n), f32),
+                             n_leapfrog=np.zeros((gb, n), np.int32),
+                             trajectory_length=np.zeros((gb, n), f32),
+                             step_size=np.zeros((gb, n), f32),
+                             divergence_rate=np.zeros((gb, n), f32))
+
+        z_m = lambda: np.zeros((gb, dg_), f32)              # noqa: E731
+        z_c = lambda: np.zeros((gb, dg_, dg_), f32)         # noqa: E731
+        ck = _SegCkpt(cfg.checkpoint_path,
+                      fingerprint=float(np.sum(np.asarray(x0b))))
+
+        # ---- phase 1: raw-space warmup windows --------------------------
+        pcarry = None
+        if not ck.past("raw_warmup"):
+            if ck.at("raw_warmup"):
+                carry, off0 = ck.load((z_state(), z_adapt()))
+            else:
+                carry, off0 = init_raw(x0b, *dat), 0
+            for off in range(off0, cfg.probe_warmup, wwin):
+                carry = raw_window(wk1[:, off:off + wwin], carry, *dat)
+                jax.block_until_ready(carry)
+                ck.save("raw_warmup", carry, off + wwin)
+            st1, eps1, traj1 = jax.jit(jax.vmap(chees_warmup_finish))(carry)
+            pcarry = (st1, eps1, traj1,
+                      np.zeros((gb, nb, cfg.probe_steps, dg_), f32))
+            ck.save("probe", pcarry, 0)
+
+        # ---- phase 2: raw-space probe segments (pool the dense metric) --
+        zc = None
+        if not ck.past("probe"):
+            if pcarry is None:
+                pcarry, poff = ck.load(
+                    (z_state(), z_scal(), z_scal(),
+                     np.zeros((gb, nb, cfg.probe_steps, dg_), f32)))
+            else:
+                poff = 0
+            st, eps1, traj1, probe_buf = pcarry
+            for off in range(poff, cfg.probe_steps, seg):
+                p, st, _ = run_raw(pk2[:, off:off + seg], st, eps1, traj1,
+                                   jnp.int32(off), *dat)
+                jax.block_until_ready(st)
+                probe_buf[:, :, off:off + p.shape[2]] = np.asarray(p)
+                ck.save("probe", (st, eps1, traj1, probe_buf),
+                        off + p.shape[2])
+            m_h, c_h, zcarry = whiten_init(jnp.asarray(probe_buf), st.xs,
+                                           *dat)
+            zc = (m_h, c_h, zcarry)
+            ck.save("z_warmup", zc, 0)
+
+        # ---- phase 3: whitened-space warmup windows ---------------------
+        rcarry = None
+        if not ck.past("z_warmup"):
+            if zc is None:
+                zc, zoff = ck.load((z_m(), z_c(), (z_state(), z_adapt())))
+            else:
+                zoff = 0
+            m_h, c_h, zcarry = zc
+            for off in range(zoff, cfg.n_warmup, wwin):
+                zcarry = z_window(wk3[:, off:off + wwin], zcarry, m_h, c_h,
+                                  *dat)
+                jax.block_until_ready(zcarry)
+                ck.save("z_warmup", (m_h, c_h, zcarry), off + wwin)
+            st2, eps2, traj2 = jax.jit(jax.vmap(chees_warmup_finish))(zcarry)
+            rcarry = (st2, eps2, traj2, m_h, c_h,
+                      np.zeros((gb, nb, cfg.n_steps, dg_), f32),
+                      z_info(cfg.n_steps))
+            ck.save("run", rcarry, 0)
+
+        # ---- phase 4: frozen-(eps,T) sampling segments ------------------
+        if rcarry is None:
+            rcarry, roff = ck.load(
+                (z_state(), z_scal(), z_scal(), z_m(), z_c(),
+                 np.zeros((gb, nb, cfg.n_steps, dg_), f32),
+                 z_info(cfg.n_steps)))
+        else:
+            roff = 0
+        stz, eps2, traj2, m_h, c_h, samples_buf, info_buf = rcarry
+        for off in range(roff, cfg.n_steps, seg):
             sx, stz, info = run_z(rk4[:, off:off + seg], stz, eps2, traj2,
                                   jnp.int32(off), m_h, c_h, *dat)
             jax.block_until_ready(stz)
-            parts.append(sx)
-            info_parts.append(info)
+            w = sx.shape[2]
+            samples_buf[:, :, off:off + w] = np.asarray(sx)
+            for buf, seg_leaf in zip(info_buf, info):
+                buf[:, off:off + w] = np.asarray(seg_leaf)
+            ck.save("run", (stz, eps2, traj2, m_h, c_h, samples_buf,
+                            info_buf), off + w)
             logger.log("field_sample_segment",
                        done=min(off + seg, cfg.n_steps), total=cfg.n_steps)
-        samples = jnp.concatenate(parts, axis=2)
-        infos = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=1), *info_parts)
-        return samples, infos
+        return jnp.asarray(samples_buf), info_buf
 
     k_s, k_i = jax.random.split(jax.random.fold_in(key, 5))
     x0b = (jnp.asarray(rect_g.reshape(n_groups, 1, d_g))
@@ -970,6 +1111,9 @@ def run_field_pipeline(stamp, band=0, n_bands: Optional[int] = None,
         batch = [jax.device_put(b, shard) for b in batch]
         logger.log("shard_groups", n_devices=n_dev, n_groups=n_groups,
                    padded_to=n_groups + g_pad)
+    if cfg.checkpoint_path and cfg.sample_segment is None:
+        raise ValueError("cfg.checkpoint_path requires cfg.sample_segment: "
+                         "the monolithic jit has no boundary to save at")
     sampler = (sample_groups if cfg.sample_segment is None
                else sample_groups_segmented)
     samples, infos = sampler(*batch)

@@ -337,3 +337,57 @@ def test_field_segmented_sampling_matches_monolithic():
         assert d["rhat_max"] < 1.15 and d["divergence_rate"] < 0.05, d
         assert abs(d["ess_min"] - dm[d["group"]]["ess_min"]) \
             < 0.5 * dm[d["group"]]["ess_min"]
+
+
+def test_field_checkpoint_resume_bitwise(tmp_path):
+    """cfg.checkpoint_path + sample_segment: kill the pipeline after the
+    FIRST sampling segment (a logger that raises — stands in for an axon
+    kill / preemption), re-run with the same path, and require the
+    resumed catalog to be BITWISE the uninterrupted segmented run's.
+    Bitwise is the right gate here (unlike monolithic-vs-segmented): the
+    resumed run replays the identical jitted segment programs on carries
+    that round-tripped losslessly through the .npz checkpoint."""
+    from celeste_tpu.utils.metrics import MetricsLogger
+
+    class _KillAfterFirstSegment(MetricsLogger):
+        def log(self, event, **kw):
+            super().log(event, **kw)
+            if event == "field_sample_segment":
+                raise KeyboardInterrupt("simulated preemption")
+
+    scene, _ = _two_group_frame()
+    kw = dict(n_chains=8, probe_warmup=20, probe_steps=8, n_warmup=20,
+              n_steps=20, map_steps=60, sample_segment=8, warmup_window=9)
+    ck = str(tmp_path / "field_ck.npz")
+
+    cat_u, art_u = run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                                      cfg=_small_cfg(**kw), priors=PRIORS)
+
+    with pytest.raises(KeyboardInterrupt):
+        run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                           cfg=_small_cfg(checkpoint_path=ck, **kw),
+                           priors=PRIORS,
+                           logger=_KillAfterFirstSegment())
+    assert np.load(ck, allow_pickle=False) is not None
+    cat_r, art_r = run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                                      cfg=_small_cfg(checkpoint_path=ck,
+                                                     **kw), priors=PRIORS)
+    np.testing.assert_array_equal(art_u["samples"], art_r["samples"])
+    for eu, er in zip(cat_u, cat_r):
+        assert eu.kind == er.kind
+        np.testing.assert_array_equal(eu.flux_mean, er.flux_mean)
+        np.testing.assert_array_equal(eu.du_mean, er.du_mean)
+
+    # a stale checkpoint for a DIFFERENT run must be rejected loudly
+    with pytest.raises(ValueError, match="different run"):
+        run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                           cfg=_small_cfg(seed=99, checkpoint_path=ck, **kw),
+                           priors=PRIORS)
+
+    # checkpointing without segmentation has no boundary to save at
+    with pytest.raises(ValueError, match="requires cfg.sample_segment"):
+        run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                           cfg=_small_cfg(checkpoint_path=ck, n_chains=8,
+                                          probe_warmup=20, probe_steps=8,
+                                          n_warmup=20, n_steps=20,
+                                          map_steps=60), priors=PRIORS)
