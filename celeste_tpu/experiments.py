@@ -52,6 +52,10 @@ class ExperimentConfig:
     # pipeline knobs
     ppc: bool = False              # posterior-predictive check stage
     type_switch: bool = True       # exact Carlin-Chib for ambiguous kinds
+    # field: sampling steps per device call (0 = one monolithic jit); with
+    # ``resume=<path>`` the segmented stage checkpoints there every
+    # boundary and a rerun resumes bitwise (celeste_tpu/field.py)
+    sample_segment: int = 0
     # quasar
     n_temps: int = 8
     z_max: float = 6.0
@@ -331,7 +335,9 @@ def run_experiment(cfg: ExperimentConfig):
                                      seed=cfg.seed + 11)
         fcfg = FieldConfig(n_chains=cfg.n_chains, n_warmup=cfg.n_warmup,
                            n_steps=cfg.n_steps, seed=cfg.seed,
-                           type_switch=cfg.type_switch)
+                           type_switch=cfg.type_switch,
+                           sample_segment=cfg.sample_segment or None,
+                           checkpoint_path=cfg.resume or None)
         catalog, artifacts = run_field_pipeline(
             scene.stamps[0], band=0, n_bands=1, cfg=fcfg,
             priors=SourcePriors(flux=FluxPrior(log_ref_mean=3.2,
