@@ -100,10 +100,17 @@ except Exception:  # noqa: BLE001 — record absent: ratio field stays null
 # (used for long local measurement runs).  The parent's kill deadline
 # tracks the child's budget (via the state file) plus a grace window.
 _ENV_BUDGET = os.environ.get("CELESTE_BENCH_BUDGET_S")
-STAGE_BUDGET_S = float(os.environ.get("CELESTE_BENCH_STAGE_BUDGET_S", "420"))
+STAGE_BUDGET_S = float(os.environ.get("CELESTE_BENCH_STAGE_BUDGET_S", "450"))
 HARD_CAP_S = float(os.environ.get("CELESTE_BENCH_HARD_CAP_S", "800"))
 BUDGET_S = float(_ENV_BUDGET) if _ENV_BUDGET else HARD_CAP_S
 _T0 = time.monotonic()
+
+# Per-stage wall deadline (monotonic), set by _stage (VERDICT r3 Next #1a:
+# round 3's config5 stage legally ran 413.8 s of the 420 s post-init budget
+# because its DEADLINE_FN only guarded the GLOBAL deadline — one stage's
+# greed cost six metrics).  Every segmented loop now consults
+# _stage_remaining(), which is the MIN of the global and stage budgets.
+_STAGE_END = None
 
 
 def _elapsed():
@@ -112,6 +119,13 @@ def _elapsed():
 
 def _remaining():
     return BUDGET_S - _elapsed()
+
+
+def _stage_remaining():
+    rem = _remaining()
+    if _STAGE_END is not None:
+        rem = min(rem, _STAGE_END - time.monotonic())
+    return rem
 
 
 def _save_state():
@@ -192,6 +206,7 @@ RESULT = {
     "tiled_dense_parity_rel": None,
     "tiled_dense_parity_ok": None,
     "pipeline_wall_time_s": None,
+    "regression_failures": None,
     "stages_skipped": [],
     "stage_walls_s": {},
     "tunnel_init_s": None,
@@ -208,7 +223,55 @@ def _finish_child():
         RESULT["backend"] = jax.default_backend()
     except Exception:  # noqa: BLE001
         pass
+    _update_regression_history()
     _save_state()
+
+
+# bench field -> regression-history metric key (celeste_tpu.bench.regression;
+# VERDICT r3 Next #4: the bench itself appends every TPU measurement so the
+# 3xMAD gate tracks the current-era numbers instead of a hand-curated past).
+_REGRESSION_KEYS = {
+    "value": "single-stamp likelihood evals/sec/chip",
+    "ess_per_sec_tiled": "config5 ESS/sec min tiled NUTS",
+    "ess_per_sec_tiled_chees": "config5 ESS/sec min tiled chees",
+    "ess_per_sec_crowded": "crowded ESS/sec min (6-star D=18 NUTS-256)",
+    "ess_per_sec_crowded_chees": "crowded ESS/sec min chees",
+    "photoz_targets_per_sec": "photoz targets/sec (256-batch hmc_adaptive)",
+    "tiled_field_evals_per_sec": "tiled-field evals/sec (64src 128x512 B=1024)",
+    "ess_per_sec_tiled_multiband_chees": "config5 multiband ESS/sec min chees",
+}
+
+
+def _update_regression_history():
+    """Append this run's TPU measurements to bench_records.json and record
+    any that fall below the noise-aware gate in RESULT.  Recording is
+    TPU-only (CPU walls are a different population) and skippable via
+    CELESTE_BENCH_NO_RECORD=1 (tests, throwaway probes)."""
+    if os.environ.get("CELESTE_BENCH_NO_RECORD") == "1":
+        return
+    try:
+        backend = jax.default_backend()
+    except Exception:  # noqa: BLE001
+        return
+    if backend != "tpu":
+        return
+    try:
+        from celeste_tpu.bench.regression import check_regression
+    except Exception as e:  # noqa: BLE001
+        print(f"# regression history unavailable: {e}", file=sys.stderr)
+        return
+    failures = []
+    for field, metric in _REGRESSION_KEYS.items():
+        v = RESULT.get(field)
+        if v is None or not v > 0:
+            continue
+        ok, ref = check_regression(metric, float(v), backend, update=True)
+        if not ok:
+            failures.append({"metric": metric, "value": float(v),
+                             "recorded_median": ref})
+            print(f"# REGRESSION {metric}: {v:.4g} < gate around median "
+                  f"{ref:.4g}", file=sys.stderr)
+    RESULT["regression_failures"] = failures
 
 
 def _bench_evals_per_sec():
@@ -268,14 +331,14 @@ def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
     trips ``tiled_dense_parity_ok`` instead of sailing through."""
     import celeste_tpu.bench.config5 as c5
     from celeste_tpu.bench.config5 import (
-        build_config5, config5_parity_gap, config5_warmup_and_whiten,
-        measure_chees_z, measure_nuts_z,
+        build_config5, config5_parity_gap, config5_warmup_and_whiten_cached,
+        measure_chees_z, measure_nuts_z, prep_cache_path,
     )
 
     # segmented loops stop cleanly between device calls when the budget
     # nears — a watchdog hard-exit mid-call wedges the tunnel for the
-    # next process
-    c5.DEADLINE_FN = _remaining
+    # next process.  Stage-local: the global deadline AND this stage's cap.
+    c5.DEADLINE_FN = _stage_remaining
 
     logd, logd_dense, vec, _info = build_config5()
 
@@ -290,9 +353,11 @@ def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
           file=sys.stderr)
     _save_state()
 
-    prep = config5_warmup_and_whiten(logd, vec, n_chains=n_chains,
-                                     n_warmup=n_warmup,
-                                     warmup_window=warmup_window)
+    # warm-start artifact (VERDICT r3 Next #1b): the ~180 s probe/warmup
+    # flow is checkpointed in-repo; a cache hit makes this load + measure
+    prep = config5_warmup_and_whiten_cached(
+        logd, vec, prep_cache_path("config5"), n_chains=n_chains,
+        n_warmup=n_warmup, warmup_window=warmup_window)
     rate_min, div, _depth = measure_nuts_z(prep, n_steps=n_steps,
                                            run_segment=run_segment)
     RESULT["ess_per_sec_tiled"] = rate_min
@@ -367,7 +432,7 @@ def _bench_ess_per_sec():
     RESULT["ess_vs_oracle"] = rate_min / ORACLE_CROWDED_ESS_RATE
     _save_state()   # the ChEES arm may outlive the budget; keep NUTS
 
-    if _remaining() < 120.0:
+    if _stage_remaining() < 120.0:
         # the arm costs ~100 s cold (warmup compile + run compile + run);
         # starting it with less guarantees a parent kill mid-compile that
         # also starves every later stage (measured: the r3 rehearsal lost
@@ -451,7 +516,7 @@ def _bench_photoz_batch(n_targets=256):
     t = time.time()
     out = run_photo_z_batch_segmented(jax.random.key(5), basis, filters,
                                       flux, err, cfg, segment_steps=100,
-                                      deadline_fn=lambda: _remaining() > 45)
+                                      deadline_fn=lambda: _stage_remaining() > 45)
     jax.block_until_ready(out["z"])
     dt = time.time() - t
     z_med = np.median(np.asarray(out["z"]).reshape(n_targets, -1), axis=1)
@@ -527,18 +592,19 @@ def _bench_config5_multiband(n_chains=1024, n_warmup=150, warmup_window=50):
     """Joint 3-band crowded config 5 (VERDICT r2 Next #8): same 12-source
     mixed scene, per-band stamps + tile maps, D=68, 1024 chains, whitened
     ChEES arm.  Optional stage — runs only if the budget allows."""
+    import celeste_tpu.bench.config5 as c5
     from celeste_tpu.bench.config5 import (
         build_config5_multiband, config5_parity_gap,
-        config5_warmup_and_whiten, measure_chees_z,
+        config5_warmup_and_whiten_cached, measure_chees_z, prep_cache_path,
     )
 
+    c5.DEADLINE_FN = _stage_remaining
     logd, logd_dense, vec, _info = build_config5_multiband()
     _, gap_rel = config5_parity_gap(logd, logd_dense, vec)
     print(f"# config5 multiband parity rel {gap_rel:.2e}", file=sys.stderr)
-    prep = config5_warmup_and_whiten(logd, vec, n_chains=n_chains,
-                                     n_warmup=n_warmup,
-                                     warmup_window=warmup_window,
-                                     init_step_size=0.03)
+    prep = config5_warmup_and_whiten_cached(
+        logd, vec, prep_cache_path("config5_multiband"), n_chains=n_chains,
+        n_warmup=n_warmup, warmup_window=warmup_window, init_step_size=0.03)
     rate, _acc, _nl = measure_chees_z(prep, n_steps=192, run_segment=48,
                                       warmup_iters=60, warmup_window=20)
     RESULT["ess_per_sec_tiled_multiband_chees"] = rate
@@ -580,10 +646,18 @@ def _bench_pipeline_walltime():
     RESULT["pipeline_wall_time_s"] = dt
 
 
-def _stage(name, fn, est_s):
+def _stage(name, fn, est_s, cap_s=None):
     """One benchmark stage under the budget: skipped when the estimate does
     not fit the remaining budget; a fault in one stage must not cost the
-    round its whole JSON record."""
+    round its whole JSON record.
+
+    ``cap_s`` is the stage's HARD wall slice: _stage_remaining() counts
+    down from min(global, cap) while the stage runs, so its segmented
+    loops stop at the cap instead of eating the later stages' budget
+    (VERDICT r3 Next #1a — the r3 record lost 5 of 7 stages to exactly
+    that).  Caps bound greed, they don't reserve time: a stage that
+    finishes early hands the leftover to the next one."""
+    global _STAGE_END
     if _remaining() < est_s:
         print(f"# STAGE SKIPPED {name}: est {est_s:.0f}s > "
               f"{_remaining():.0f}s remaining", file=sys.stderr)
@@ -591,12 +665,15 @@ def _stage(name, fn, est_s):
         _save_state()   # the parent's kill-time snapshot must see the skip
         return
     t = time.time()
+    _STAGE_END = None if cap_s is None else time.monotonic() + cap_s
     try:
         fn()
         print(f"# stage {name}: {time.time() - t:.1f}s "
               f"({_remaining():.0f}s left)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"# STAGE FAILED {name}: {str(e)[:300]}", file=sys.stderr)
+    finally:
+        _STAGE_END = None
     RESULT["stage_walls_s"][name] = round(time.time() - t, 1)
     _save_state()
 
@@ -615,16 +692,20 @@ def child_main():
     # ess_vs_oracle ratio (VERDICT r2 Next #1/#2 judge the round on it);
     # under a short post-init budget the crowded stage's ~160 s warm wall
     # (r3 rehearsal) must not starve it
-    _stage("evals", _bench_evals_per_sec, est_s=45)
-    # est < full wall on purpose: the stage self-budgets (DEADLINE_FN
-    # segmented loops + per-arm saves), so starting it with only ~90 s
-    # still records the parity gate and whatever arms fit
-    _stage("config5_tiled", _bench_config5_tiled, est_s=90)
-    _stage("crowded_ess", _bench_ess_per_sec, est_s=165)
-    _stage("photoz_batch", _bench_photoz_batch, est_s=200)
-    _stage("tiled_field", _bench_tiled_field, est_s=25)
-    _stage("pipeline", _bench_pipeline_walltime, est_s=110)
-    _stage("config5_multiband", _bench_config5_multiband, est_s=250)
+    # est = minimum useful start budget; cap = hard wall slice (VERDICT r3
+    # Next #1a).  Warm-cache walls measured 2026-08-19 (scripts/
+    # tpu_bench_rehearsal): evals ~5 s, config5 ~115 s with the prep-cache
+    # hit, crowded ~45 s, photoz ~80 s, tiled ~7 s, pipeline ~45 s,
+    # multiband ~105 s — caps carry 30-50% headroom for tunnel noise and
+    # a cold compile cache falls back to fewer arms, not fewer stages.
+    _stage("evals", _bench_evals_per_sec, est_s=30, cap_s=45)
+    _stage("config5_tiled", _bench_config5_tiled, est_s=60, cap_s=160)
+    _stage("crowded_ess", _bench_ess_per_sec, est_s=40, cap_s=90)
+    _stage("photoz_batch", _bench_photoz_batch, est_s=50, cap_s=115)
+    _stage("tiled_field", _bench_tiled_field, est_s=10, cap_s=25)
+    _stage("pipeline", _bench_pipeline_walltime, est_s=40, cap_s=70)
+    # last stage: the cap is whatever remains of the global budget
+    _stage("config5_multiband", _bench_config5_multiband, est_s=60)
     _finish_child()
 
 

@@ -286,7 +286,149 @@ def config5_warmup_and_whiten(logd, vec, n_chains=1024, n_warmup=150,
         "d": d, "logd_z": logd_z, "to_x": to_x, "to_z": to_z,
         "states_z": states_z, "step_z": step_z,
         "states_x": states, "step_size": step_size, "inv_mass": inv_mass,
+        # the moments logd_z/to_x/to_z were built from — what the warm-start
+        # artifact persists so the transforms can be REBUILT at load
+        # (config5_warmup_and_whiten_cached)
+        "whiten_moments": (m_hat, cov_hat),
     }
+
+
+def prep_cache_path(name: str) -> str:
+    """Committed warm-start artifact location for a named bench scene
+    (celeste_tpu/bench/artifacts/<name>_prep.npz)."""
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{name}_prep.npz")
+
+
+def _prep_fingerprint(vec, n_chains, n_warmup, warmup_window, n_zwarm,
+                      probe_steps, init_step_size):
+    """Everything that shapes the warmup stream (scene enters via vec)."""
+    return {
+        "vec_sum": float(jnp.sum(vec)), "d": int(vec.shape[0]),
+        "n_chains": int(n_chains), "n_warmup": int(n_warmup),
+        "warmup_window": int(warmup_window), "n_zwarm": int(n_zwarm),
+        "probe_steps": int(probe_steps),
+        "init_step_size": float(init_step_size),
+    }
+
+
+def config5_warmup_and_whiten_cached(logd, vec, cache_path, n_chains=1024,
+                                     n_warmup=150, warmup_window=50,
+                                     n_zwarm=30, probe_steps=16,
+                                     init_step_size=0.1, verbose=True):
+    """``config5_warmup_and_whiten`` behind a COMMITTED warm-start artifact
+    (VERDICT r3 Next #1b): the ~180 s probe-and-warmup flow runs once on
+    hardware, its output (whitening moments + warmed z-space ensemble +
+    adapted step sizes) is checkpointed, and every later bench run loads it
+    so the config-5 stage becomes load + measure.
+
+    Two validation layers before a cached prep is trusted:
+
+    - a fingerprint of the warmup-stream inputs (scene via ``sum(vec)``,
+      chain count, window sizes) — a different scene/config falls through
+      to a fresh warmup;
+    - a LIVE logdensity probe: the cached chain states carry their saved
+      ``logp``; recomputing ``logd_z(x)`` on 8 chains must reproduce them
+      to 1 nat.  A code change to the likelihood/whitening math silently
+      invalidates any saved ensemble — this catches it and falls back to a
+      fresh warmup (and re-saves), rather than benching a stale posterior.
+
+    The artifact holds plain arrays (m_hat, cov_hat, states_z, scalars) via
+    utils.checkpoint; ``logd_z``/``to_x``/``to_z`` are REBUILT from the
+    moments at load, so nothing callable is ever serialized.
+    """
+    import os
+    import sys
+
+    from celeste_tpu.inference import whiten_logdensity
+    from celeste_tpu.inference.hmc import HMCState
+    from celeste_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    d = int(vec.shape[0])
+    fp = _prep_fingerprint(vec, n_chains, n_warmup, warmup_window, n_zwarm,
+                           probe_steps, init_step_size)
+    f32 = jnp.float32
+
+    def _like():
+        return {
+            "m_hat": jnp.zeros((d,), f32),
+            "cov_hat": jnp.zeros((d, d), f32),
+            "states_z": HMCState(x=jnp.zeros((n_chains, d), f32),
+                                 logp=jnp.zeros((n_chains,), f32),
+                                 grad=jnp.zeros((n_chains, d), f32)),
+            "states_x": HMCState(x=jnp.zeros((n_chains, d), f32),
+                                 logp=jnp.zeros((n_chains,), f32),
+                                 grad=jnp.zeros((n_chains, d), f32)),
+            "inv_mass": jnp.zeros((d,), f32),
+            "step_z": jnp.zeros((), f32),
+            "step_size": jnp.zeros((), f32),
+        }
+
+    if cache_path and os.path.exists(cache_path):
+        try:
+            blob, _, extra = load_checkpoint(cache_path, _like())
+            if not _fp_ok(extra.get("fp"), fp):
+                raise ValueError(f"fingerprint mismatch: {extra.get('fp')!r} "
+                                 f"vs {fp!r}")
+            logd_z, to_x, to_z = whiten_logdensity(logd, blob["m_hat"],
+                                                   blob["cov_hat"])
+            # live probe: saved logp must be reproduced by TODAY's code
+            probe = jax.jit(jax.vmap(logd_z))(blob["states_z"].x[:8])
+            gap = float(jnp.max(jnp.abs(probe - blob["states_z"].logp[:8])))
+            if not np.isfinite(gap) or gap > 1.0:
+                raise ValueError(f"stale cached prep: live logd_z probe off "
+                                 f"by {gap:.3g} nats")
+            if verbose:
+                print(f"# config5 prep cache HIT ({cache_path}, probe gap "
+                      f"{gap:.2e} nats)", file=sys.stderr)
+            return {
+                "d": d, "logd_z": logd_z, "to_x": to_x, "to_z": to_z,
+                "states_z": blob["states_z"],
+                "step_z": float(blob["step_z"]),
+                "states_x": blob["states_x"],
+                "step_size": float(blob["step_size"]),
+                "inv_mass": blob["inv_mass"],
+            }
+        except Exception as e:  # noqa: BLE001 — any invalid cache -> warmup
+            print(f"# config5 prep cache MISS ({str(e)[:200]})",
+                  file=sys.stderr)
+
+    prep = config5_warmup_and_whiten(logd, vec, n_chains=n_chains,
+                                     n_warmup=n_warmup,
+                                     warmup_window=warmup_window,
+                                     n_zwarm=n_zwarm, probe_steps=probe_steps,
+                                     init_step_size=init_step_size,
+                                     verbose=verbose)
+    if cache_path:
+        # persist the moments the transforms are rebuilt from — NOT the
+        # closures — plus the warmed ensembles and adapted scalars
+        m_hat, cov_hat = prep["whiten_moments"]
+        save_checkpoint(cache_path, {
+            "m_hat": m_hat, "cov_hat": cov_hat,
+            "states_z": prep["states_z"],
+            "states_x": prep["states_x"],
+            "inv_mass": prep["inv_mass"],
+            "step_z": jnp.asarray(prep["step_z"], f32),
+            "step_size": jnp.asarray(prep["step_size"], f32),
+        }, step=0, extra={"fp": fp})
+        print(f"# config5 prep cache SAVED -> {cache_path}", file=sys.stderr)
+    return prep
+
+
+def _fp_ok(saved, want) -> bool:
+    if not isinstance(saved, dict) or set(saved) != set(want):
+        return False
+    for k, v in want.items():
+        s = saved[k]
+        if isinstance(v, float):
+            if abs(float(s) - v) > 1e-6 * max(1.0, abs(v)):
+                return False
+        elif s != v:
+            return False
+    return True
 
 
 def measure_nuts_z(prep, n_steps=64, run_segment=16, max_depth=5,

@@ -72,6 +72,39 @@ def test_sigterm_emits_snapshot_before_dying():
     assert rec["bench_wall_s"] is not None
 
 
+def test_stage_cap_bounds_a_greedy_stage(tmp_path, monkeypatch):
+    """Per-stage hard caps (VERDICT r3 Next #1a): a stage whose segmented
+    loop keeps polling the deadline must be stopped at ITS cap, not at the
+    global budget — round 3's config5 stage legally ate 414 s of the 420 s
+    budget and cost the record six metrics."""
+    import importlib.util
+    import time
+
+    monkeypatch.setenv("CELESTE_BENCH_STATE", str(tmp_path / "state.json"))
+    spec = importlib.util.spec_from_file_location("bench_cap_mod", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    bench.BUDGET_S = 10_000.0
+
+    walls = {}
+
+    def greedy():
+        t0 = time.monotonic()
+        # the segmented-loop pattern: bounded work, deadline check between
+        while bench._stage_remaining() > 0.0:
+            time.sleep(0.02)
+        walls["greedy"] = time.monotonic() - t0
+
+    bench._stage("greedy", greedy, est_s=0, cap_s=0.5)
+    assert 0.4 < walls["greedy"] < 3.0, walls
+    assert bench._STAGE_END is None  # cap cleared even on normal exit
+
+    seen = {}
+    bench._stage("peek", lambda: seen.update(rem=bench._stage_remaining()),
+                 est_s=0)
+    assert seen["rem"] > 5_000.0  # uncapped stage sees the global budget
+
+
 def test_wedged_child_is_killed_and_partial_record_emitted():
     p = _run({"CELESTE_BENCH_WEDGE": "1",
               "CELESTE_BENCH_HARD_CAP_S": "8",
