@@ -100,7 +100,7 @@ except Exception:  # noqa: BLE001 — record absent: ratio field stays null
 # (used for long local measurement runs).  The parent's kill deadline
 # tracks the child's budget (via the state file) plus a grace window.
 _ENV_BUDGET = os.environ.get("CELESTE_BENCH_BUDGET_S")
-STAGE_BUDGET_S = float(os.environ.get("CELESTE_BENCH_STAGE_BUDGET_S", "450"))
+STAGE_BUDGET_S = float(os.environ.get("CELESTE_BENCH_STAGE_BUDGET_S", "540"))
 HARD_CAP_S = float(os.environ.get("CELESTE_BENCH_HARD_CAP_S", "800"))
 BUDGET_S = float(_ENV_BUDGET) if _ENV_BUDGET else HARD_CAP_S
 _T0 = time.monotonic()
@@ -315,7 +315,7 @@ def _bench_evals_per_sec():
         _save_state()   # a parent emit mid-stage keeps finished impls
 
 
-def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
+def _bench_config5_tiled(n_chains=1024, n_steps=32, n_warmup=150,
                          warmup_window=50, run_segment=16):
     """BASELINE config 5 AS WRITTEN: 12 overlapping sources (10 stars + 2
     galaxies), 1024 chains, block-sparse TILED likelihood, single chip.
@@ -358,13 +358,9 @@ def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
     prep = config5_warmup_and_whiten_cached(
         logd, vec, prep_cache_path("config5"), n_chains=n_chains,
         n_warmup=n_warmup, warmup_window=warmup_window)
-    rate_min, div, _depth = measure_nuts_z(prep, n_steps=n_steps,
-                                           run_segment=run_segment)
-    RESULT["ess_per_sec_tiled"] = rate_min
-    RESULT["tiled_divergence_frac"] = div
-    if ORACLE_CONFIG5_ESS_RATE:
-        RESULT["ess_vs_oracle_config5"] = rate_min / ORACLE_CONFIG5_ESS_RATE
-    _save_state()   # the ChEES arm may outlive the budget; keep NUTS
+    # ChEES FIRST: it is the flagship sampler (the metric no driver record
+    # has ever held, VERDICT r3 Missing #1) and the cheaper arm; NUTS runs
+    # second on whatever the cap leaves
     try:
         rate_chees, _acc, _nl = measure_chees_z(prep)
         RESULT["ess_per_sec_tiled_chees"] = rate_chees
@@ -373,6 +369,13 @@ def _bench_config5_tiled(n_chains=1024, n_steps=64, n_warmup=150,
                 rate_chees / ORACLE_CONFIG5_ESS_RATE)
     except Exception as e:  # noqa: BLE001
         print(f"# config5 chees arm failed: {str(e)[:200]}", file=sys.stderr)
+    _save_state()   # the NUTS arm may outlive the budget; keep ChEES
+    rate_min, div, _depth = measure_nuts_z(prep, n_steps=n_steps,
+                                           run_segment=run_segment)
+    RESULT["ess_per_sec_tiled"] = rate_min
+    RESULT["tiled_divergence_frac"] = div
+    if ORACLE_CONFIG5_ESS_RATE:
+        RESULT["ess_vs_oracle_config5"] = rate_min / ORACLE_CONFIG5_ESS_RATE
 
 
 def _bench_ess_per_sec():
@@ -387,6 +390,8 @@ def _bench_ess_per_sec():
     from celeste_tpu.inference.diagnostics import ess, split_rhat
     from celeste_tpu.parallel import CrowdedScene, make_crowded_logdensity
 
+    from celeste_tpu.bench.config5 import _arm_diagnostics
+
     offs = [(-3, -2), (2.5, 1.5), (0, 2.5), (-2, 2), (3, -2.5), (0.5, -1)]
     srcs = [star_source(u=(30 + de / 3600 / np.cos(np.deg2rad(10)), 10 + dn / 3600),
                         flux_r=15 + 6 * i)
@@ -394,22 +399,25 @@ def _bench_ess_per_sec():
     scene = make_synthetic_stamp(srcs, shape=(41, 41), bands=(2,), seed=31)
     cs = CrowdedScene(kinds=("star",) * 6, n_bands=1)
     logd = make_crowded_logdensity(cs, [scene.stamps[0]], bands=[0])
-    vec = jnp.asarray(np.concatenate(
+    vec_np = np.concatenate(
         [np.concatenate([scene.wcs.equa2duas(s["u"]), [np.log(s["flux"][2])]])
-         for s in srcs]), jnp.float32)
+         for s in srcs]).astype(np.float32)
 
     n_chains = 256
     n_steps = 200
     key = jax.random.key(0)
-    x0 = vec[None, :] + 0.01 * jax.random.normal(jax.random.key(1), (n_chains, 18))
+    # host-built init: eager jnp glue costs one program load per op
+    # through the tunnel (see config5._arm_diagnostics)
+    x0 = jnp.asarray(vec_np[None, :] + 0.01 * np.random.default_rng(1)
+                     .standard_normal((n_chains, 18)), jnp.float32)
 
     # adapt step size + diagonal mass (vmapped dual-averaging warmup)
     states, ss, im = jax.jit(jax.vmap(
         lambda k, x: hmc_warmup(k, logd, x, n_warmup=200, n_leapfrog=8)
     ))(jax.random.split(jax.random.key(3), n_chains), x0)
     jax.block_until_ready(states)
-    step_size = float(jnp.median(ss))
-    inv_mass = jnp.mean(im, axis=0)
+    step_size = float(np.median(np.asarray(ss)))
+    inv_mass = np.mean(np.asarray(im), axis=0)
     print(f"# crowded warmup: step_size={step_size:.4f}", file=sys.stderr)
     kern = nuts_kernel(logd, step_size=step_size, inv_mass=inv_mass, max_depth=6)
 
@@ -421,20 +429,20 @@ def _bench_ess_per_sec():
     samples, _, info = run(jax.random.key(2), states)
     samples.block_until_ready()
     dt = time.time() - t
-    kept = samples[:, n_steps // 4:]
-    e = np.asarray(ess(kept))
+    e, _rh = _arm_diagnostics(lambda z: z, [samples])
     rate_min = float(e.min() / dt)
     rate_med = float(np.median(e) / dt)
     print(f"# crowded NUTS: {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
           f"median {rate_med:.1f}, divergence frac "
-          f"{float(jnp.mean(info.diverged.astype(jnp.float32))):.4f}", file=sys.stderr)
+          f"{np.asarray(info.diverged).astype(np.float32).mean():.4f}",
+          file=sys.stderr)
     RESULT["ess_per_sec_crowded"] = rate_min
     RESULT["ess_vs_oracle"] = rate_min / ORACLE_CROWDED_ESS_RATE
     _save_state()   # the ChEES arm may outlive the budget; keep NUTS
 
-    if _stage_remaining() < 120.0:
-        # the arm costs ~100 s cold (warmup compile + run compile + run);
-        # starting it with less guarantees a parent kill mid-compile that
+    if _stage_remaining() < 95.0:
+        # the arm costs ~90 s cold (warmup compile + run compile + run);
+        # starting it with less guarantees a cap/deadline overrun that
         # also starves every later stage (measured: the r3 rehearsal lost
         # photoz/tiled/config5 to exactly this)
         print("# crowded ChEES arm skipped (budget)", file=sys.stderr)
@@ -448,11 +456,12 @@ def _bench_ess_per_sec():
     from celeste_tpu.inference.whiten import ensemble_covariance, whiten_logdensity
 
     n_steps_c = 4 * n_steps
-    m_hat, cov_hat = ensemble_covariance(kept[:, ::4], ridge=1e-4)
+    m_hat, cov_hat = jax.jit(lambda s: ensemble_covariance(
+        s[:, n_steps // 4::4], ridge=1e-4))(samples)
     logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
-    st_c, eps_c, traj_c = chees_warmup(jax.random.key(8), logd_z,
-                                       to_z(states.x), n_warmup=100,
-                                       init_step_size=0.3, max_leapfrog=64)
+    st_c, eps_c, traj_c = jax.jit(lambda k, x: chees_warmup(
+        k, logd_z, to_z(x), n_warmup=100, init_step_size=0.3,
+        max_leapfrog=64))(jax.random.key(8), states.x)
     eps_c, traj_c = float(eps_c), float(traj_c)
     run_c = jax.jit(lambda k, s: run_chees_ensemble(
         k, logd_z, s, n_steps=n_steps_c, step_size=eps_c,
@@ -463,16 +472,14 @@ def _bench_ess_per_sec():
     samples_z, _, info_c = run_c(jax.random.key(10), st_c)
     jax.block_until_ready(samples_z)
     dt_c = time.time() - t
-    kept_c = to_x(samples_z[:, n_steps_c // 4:])
-    ec = np.asarray(ess(kept_c))
+    ec, rh_arr = _arm_diagnostics(to_x, [samples_z])
     rate_min_c = float(ec.min() / dt_c)
-    rh = float(np.max(np.asarray(split_rhat(kept_c))))
     print(f"# crowded ChEES: {dt_c:.2f}s, min ESS/sec {rate_min_c:.1f}, "
           f"median {float(np.median(ec) / dt_c):.1f}, accept "
-          f"{float(jnp.mean(info_c.accept_rate)):.3f}, eps {eps_c:.3f}, "
+          f"{np.asarray(info_c.accept_rate).mean():.3f}, eps {eps_c:.3f}, "
           f"traj {traj_c:.3f}, divergence "
-          f"{float(jnp.mean(info_c.divergence_rate)):.4f}, max rhat "
-          f"{rh:.4f}", file=sys.stderr)
+          f"{np.asarray(info_c.divergence_rate).mean():.4f}, max rhat "
+          f"{float(rh_arr.max()):.4f}", file=sys.stderr)
     RESULT["ess_per_sec_crowded_chees"] = rate_min_c
     RESULT["ess_vs_oracle_chees"] = rate_min_c / ORACLE_CROWDED_ESS_RATE
 
@@ -693,19 +700,27 @@ def child_main():
     # under a short post-init budget the crowded stage's ~160 s warm wall
     # (r3 rehearsal) must not starve it
     # est = minimum useful start budget; cap = hard wall slice (VERDICT r3
-    # Next #1a).  Warm-cache walls measured 2026-08-19 (scripts/
-    # tpu_bench_rehearsal): evals ~5 s, config5 ~115 s with the prep-cache
-    # hit, crowded ~45 s, photoz ~80 s, tiled ~7 s, pipeline ~45 s,
-    # multiband ~105 s — caps carry 30-50% headroom for tunnel noise and
-    # a cold compile cache falls back to fewer arms, not fewer stages.
+    # Next #1a).  Walls measured on TPU 2026-08-19 (/tmp rehearsal 2, warm
+    # prep artifacts, mixed compile cache): evals 4.7 s; config5 173 s at
+    # n_steps=64 (now 32) incl. one cold NUTS compile; crowded 49 s
+    # NUTS-only (+~90 s ChEES arm); photoz 50 s at N=256; tiled 37 s cold
+    # / <10 s warm; pipeline ~130 s cold (NO deadline hooks — runs last
+    # but one); multiband 115-155 s from its prep artifact.  Caps bound
+    # greed so a slow arm costs its own stage, never the record.
+    # Measured warm walls (rehearsal 4, 2026-08-19): evals 4.9, config5
+    # 187.6 with BOTH arms (ChEES-first), crowded 72.6 with both arms,
+    # photoz 41.0, tiled 24.9 — sum ~330; multiband ~120 and pipeline ~60
+    # fit the 540 s budget whenever tunnel init is healthy, and degrade to
+    # clean est-gated skips (never a mid-stage kill) when it is not.
     _stage("evals", _bench_evals_per_sec, est_s=30, cap_s=45)
-    _stage("config5_tiled", _bench_config5_tiled, est_s=60, cap_s=160)
-    _stage("crowded_ess", _bench_ess_per_sec, est_s=40, cap_s=90)
-    _stage("photoz_batch", _bench_photoz_batch, est_s=50, cap_s=115)
-    _stage("tiled_field", _bench_tiled_field, est_s=10, cap_s=25)
-    _stage("pipeline", _bench_pipeline_walltime, est_s=40, cap_s=70)
-    # last stage: the cap is whatever remains of the global budget
-    _stage("config5_multiband", _bench_config5_multiband, est_s=60)
+    _stage("config5_tiled", _bench_config5_tiled, est_s=60, cap_s=190)
+    _stage("crowded_ess", _bench_ess_per_sec, est_s=40, cap_s=150)
+    _stage("photoz_batch", _bench_photoz_batch, est_s=40, cap_s=70)
+    _stage("tiled_field", _bench_tiled_field, est_s=10, cap_s=35)
+    _stage("config5_multiband", _bench_config5_multiband, est_s=60, cap_s=165)
+    # last on purpose: the pipeline is one monolithic flow with no
+    # deadline hooks, so an overrun can only eat its own (final) slot
+    _stage("pipeline", _bench_pipeline_walltime, est_s=60)
     _finish_child()
 
 

@@ -307,7 +307,10 @@ def _prep_fingerprint(vec, n_chains, n_warmup, warmup_window, n_zwarm,
                       probe_steps, init_step_size):
     """Everything that shapes the warmup stream (scene enters via vec)."""
     return {
-        "vec_sum": float(jnp.sum(vec)), "d": int(vec.shape[0]),
+        # host-side sum: an eager jnp reduce is ONE whole program load
+        # through the axon tunnel (~0.5-1 s; see _arm_diagnostics note)
+        "vec_sum": float(np.sum(np.asarray(vec), dtype=np.float64)),
+        "d": int(vec.shape[0]),
         "n_chains": int(n_chains), "n_warmup": int(n_warmup),
         "warmup_window": int(warmup_window), "n_zwarm": int(n_zwarm),
         "probe_steps": int(probe_steps),
@@ -431,6 +434,34 @@ def _fp_ok(saved, want) -> bool:
     return True
 
 
+def _arm_diagnostics(to_x, seg_samples, drop_frac: int = 4):
+    """Unwhiten + burn-in slice + FFT ESS + split-R̂ as ONE jitted program.
+
+    Through the axon tunnel every program LOAD costs ~0.5-1 s regardless
+    of size (measured 2026-08-19: a bench run dispatched 289 tiny eager
+    programs — jit(_mean), jit(convert_element_type), ... — totalling
+    193 s, with the persistent cache unable to help because load cost,
+    not compile cost, dominates).  All post-run analysis therefore rides
+    one device call; only the [D] ess/rhat vectors come back."""
+    from celeste_tpu.inference.diagnostics import ess, split_rhat
+
+    @jax.jit
+    def post(segs):
+        z = jnp.concatenate(segs, axis=1)
+        kept = to_x(z)[:, z.shape[1] // drop_frac:]
+        return ess(kept), split_rhat(kept)
+
+    e, rh = post(tuple(seg_samples))
+    return np.asarray(e), np.asarray(rh)
+
+
+def _host_mean(infos, field, dtype=np.float32):
+    """Mean of a per-segment info field on the HOST (one transfer per
+    segment, zero device programs — see _arm_diagnostics note)."""
+    return float(np.mean([np.asarray(getattr(i, field)).astype(dtype).mean()
+                          for i in infos]))
+
+
 def measure_nuts_z(prep, n_steps=64, run_segment=16, max_depth=5,
                    verbose=True):
     """Whitened-space NUTS arm on the prepared config-5 ensemble; returns
@@ -441,10 +472,9 @@ def measure_nuts_z(prep, n_steps=64, run_segment=16, max_depth=5,
     import time
 
     from celeste_tpu.inference import nuts_kernel, run_chains_ensemble
-    from celeste_tpu.inference.diagnostics import ess, split_rhat
 
     kern_z = nuts_kernel(prep["logd_z"], step_size=prep["step_z"],
-                         inv_mass=jnp.ones((prep["d"],), jnp.float32),
+                         inv_mass=np.ones((prep["d"],), np.float32),
                          max_depth=max_depth)
     run_z = jax.jit(lambda k, s: run_chains_ensemble(k, kern_z, s,
                                                      n_steps=run_segment))
@@ -468,20 +498,15 @@ def measure_nuts_z(prep, n_steps=64, run_segment=16, max_depth=5,
         seg_samples.append(samples)
         infos.append(info)
     dt = time.time() - t
-    n_done = len(seg_samples) * run_segment
-    samples = prep["to_x"](jnp.concatenate(seg_samples, axis=1))
-    kept = samples[:, n_done // 4:]
-    e = np.asarray(ess(kept))
+    e, rh_arr = _arm_diagnostics(prep["to_x"], seg_samples)
     rate_min = float(e.min() / dt)
-    div = float(np.mean([float(jnp.mean(i.diverged.astype(jnp.float32)))
-                         for i in infos]))
-    depth = float(np.mean([float(jnp.mean(i.tree_depth.astype(jnp.float32)))
-                           for i in infos]))
+    div = _host_mean(infos, "diverged")
+    depth = _host_mean(infos, "tree_depth")
     if verbose:
-        rh = float(np.max(np.asarray(split_rhat(kept))))
         print(f"# config5 NUTS(z): {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
               f"median {float(np.median(e) / dt):.1f}, divergence {div:.4f}, "
-              f"mean depth {depth:.2f}, max rhat {rh:.4f}", file=sys.stderr)
+              f"mean depth {depth:.2f}, max rhat {float(rh_arr.max()):.4f}",
+              file=sys.stderr)
     return rate_min, div, depth
 
 
@@ -499,7 +524,6 @@ def measure_chees_z(prep, n_steps=240, run_segment=48, warmup_iters=60,
         chees_warmup_finish, chees_warmup_init, chees_warmup_window,
         run_chees_ensemble,
     )
-    from celeste_tpu.inference.diagnostics import ess, split_rhat
 
     logd_z = prep["logd_z"]
     z0 = prep["states_z"].x
@@ -540,17 +564,13 @@ def measure_chees_z(prep, n_steps=240, run_segment=48, warmup_iters=60,
         seg_samples.append(samples)
         infos.append(info)
     dt = time.time() - t
-    n_done = len(seg_samples) * run_segment
-    samples = prep["to_x"](jnp.concatenate(seg_samples, axis=1))
-    kept = samples[:, n_done // 4:]
-    e = np.asarray(ess(kept))
+    e, rh_arr = _arm_diagnostics(prep["to_x"], seg_samples)
     rate_min = float(e.min() / dt)
-    acc = float(np.mean([float(jnp.mean(i.accept_rate)) for i in infos]))
-    nleap = float(np.mean([float(jnp.mean(i.n_leapfrog.astype(jnp.float32)))
-                           for i in infos]))
+    acc = _host_mean(infos, "accept_rate")
+    nleap = _host_mean(infos, "n_leapfrog")
     if verbose:
-        rh = float(np.max(np.asarray(split_rhat(kept))))
         print(f"# config5 ChEES(z): {dt:.2f}s, min ESS/sec {rate_min:.1f}, "
               f"median {float(np.median(e) / dt):.1f}, accept {acc:.3f}, "
-              f"mean leaps {nleap:.1f}, max rhat {rh:.4f}", file=sys.stderr)
+              f"mean leaps {nleap:.1f}, max rhat {float(rh_arr.max()):.4f}",
+              file=sys.stderr)
     return rate_min, acc, nleap
