@@ -23,6 +23,9 @@ import jax
 import jax.numpy as jnp
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)   # `python scripts/...` puts scripts/ first
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 TRACE_DIR = os.path.join(REPO, "scripts", "tpu_trace")
 RESULT_PATH = os.path.join(REPO, "scripts", "tpu_profile_trace_result.json")
 
