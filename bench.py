@@ -193,6 +193,7 @@ RESULT = {
     "photoz_targets_per_sec": None,
     "photoz_targets_per_sec_steady": None,
     "photoz_vs_oracle": None,
+    "photoz_vs_oracle_steady": None,
     "photoz_z_recovery_frac": None,
     "photoz_batch_n": None,
     "ess_per_sec_tiled": None,
@@ -541,8 +542,13 @@ def _bench_photoz_batch(n_targets=256):
             # recipe; oracle is sequential single-core NumPy slice-in-PT
             RESULT["photoz_vs_oracle"] = (n_targets / dt) / ORACLE_PHOTOZ_RATE
     if len(seg_s) >= 2:
-        RESULT["photoz_targets_per_sec_steady"] = n_targets / (
-            np.mean(seg_s[1:]) * n_seg_total)
+        steady = n_targets / (np.mean(seg_s[1:]) * n_seg_total)
+        RESULT["photoz_targets_per_sec_steady"] = steady
+        if ORACLE_PHOTOZ_RATE:
+            # device-throughput ratio: what a production batch stream sees
+            # once compiles are amortized (full-wall ratio stays the
+            # headline photoz_vs_oracle)
+            RESULT["photoz_vs_oracle_steady"] = steady / ORACLE_PHOTOZ_RATE
     print(f"# photo-z batch ({n_targets} targets, 6-temp ladder, "
           f"hmc_adaptive, segmented): {dt:.2f}s ({n_done}/{cfg.n_steps} "
           f"steps, init {out['timings']['init_s']:.0f}s), "
