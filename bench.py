@@ -363,7 +363,8 @@ def _bench_config5_tiled(n_chains=1024, n_steps=32, n_warmup=150,
     # has ever held, VERDICT r3 Missing #1) and the cheaper arm; NUTS runs
     # second on whatever the cap leaves
     try:
-        rate_chees, _acc, _nl = measure_chees_z(prep)
+        rate_chees, _acc, _nl = measure_chees_z(
+            prep, warm_cache_path=prep_cache_path("config5_chees"))
         RESULT["ess_per_sec_tiled_chees"] = rate_chees
         if ORACLE_CONFIG5_ESS_RATE:
             RESULT["ess_vs_oracle_config5_chees"] = (
@@ -618,8 +619,9 @@ def _bench_config5_multiband(n_chains=1024, n_warmup=150, warmup_window=50):
     prep = config5_warmup_and_whiten_cached(
         logd, vec, prep_cache_path("config5_multiband"), n_chains=n_chains,
         n_warmup=n_warmup, warmup_window=warmup_window, init_step_size=0.03)
-    rate, _acc, _nl = measure_chees_z(prep, n_steps=192, run_segment=48,
-                                      warmup_iters=60, warmup_window=20)
+    rate, _acc, _nl = measure_chees_z(
+        prep, n_steps=192, run_segment=48, warmup_iters=60, warmup_window=20,
+        warm_cache_path=prep_cache_path("config5_multiband_chees"))
     RESULT["ess_per_sec_tiled_multiband_chees"] = rate
     RESULT["tiled_multiband_parity_rel"] = gap_rel
 
@@ -677,6 +679,13 @@ def _stage(name, fn, est_s, cap_s=None):
         RESULT["stages_skipped"].append(name)
         _save_state()   # the parent's kill-time snapshot must see the skip
         return
+    if os.environ.get("CELESTE_BENCH_NO_CAPS") == "1":
+        # compile-cache warm-up mode: run every stage to completion under a
+        # large CELESTE_BENCH_BUDGET_S so all programs land in .jax_cache
+        # and the warm-start artifacts get (re)written — a cap stopping a
+        # cold arm early would leave its run program uncompiled, which is
+        # the opposite of what a warm-up run is for
+        cap_s = None
     t = time.time()
     _STAGE_END = None if cap_s is None else time.monotonic() + cap_s
     try:

@@ -13,6 +13,7 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
@@ -105,6 +106,7 @@ def test_stage_cap_bounds_a_greedy_stage(tmp_path, monkeypatch):
     assert seen["rem"] > 5_000.0  # uncapped stage sees the global budget
 
 
+@pytest.mark.slow
 def test_wedged_child_is_killed_and_partial_record_emitted():
     p = _run({"CELESTE_BENCH_WEDGE": "1",
               "CELESTE_BENCH_HARD_CAP_S": "8",

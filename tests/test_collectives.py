@@ -137,6 +137,7 @@ def test_tiled_crowded_logdensity_end_to_end():
     assert float(logd(v2)) < float(val)
 
 
+@pytest.mark.slow
 def test_tiled_crowded_multiband():
     """Multi-band tiled joint logdensity: finite, differentiable, and equal
     to the sum of per-band single-band versions."""
@@ -182,6 +183,7 @@ def test_tiled_crowded_multiband():
     assert abs(float(val) - want) < 2.0, (float(val), want)
 
 
+@pytest.mark.slow
 def test_sharded_pt_kernel_matches_in_device_ladder():
     """VERDICT r1 #9: the ladder sharded over a mesh axis is numerically the
     SAME Markov chain as the in-device vmapped ladder — identical key

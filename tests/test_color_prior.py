@@ -11,6 +11,7 @@ from celeste_tpu.model.color_prior import (
     synthetic_star_colors,
 )
 from celeste_tpu.model.priors import FluxPrior
+import pytest
 
 
 def test_em_recovers_two_component_mixture():
@@ -101,6 +102,7 @@ def test_gmm_prior_covers_scene_defaults():
     assert lp_g > -5.0, lp_g
 
 
+@pytest.mark.slow
 def test_gmm_prior_through_runner_chees():
     """star_ugriz with color_prior=gmm flows through the runner and mixes
     under the ChEES + dense-metric combination."""

@@ -50,6 +50,7 @@ def galaxy_run():
     return samples, info, x_true
 
 
+@pytest.mark.slow
 def test_galaxy_posterior_brackets_truth(galaxy_run):
     samples, info, x_true = galaxy_run
     kept = np.asarray(samples[:, 60:]).reshape(-1, 7)

@@ -35,6 +35,7 @@ def setup():
     return scene, logd, x_true
 
 
+@pytest.mark.slow
 def test_slice_vs_hmc_parity(setup):
     scene, logd, x_true = setup
     key = jax.random.key(0)
@@ -73,6 +74,7 @@ def test_slice_vs_hmc_parity(setup):
     assert np.all(np.asarray(split_rhat(np.asarray(h_samp[:, 150:]))) < 1.15)
 
 
+@pytest.mark.slow
 def test_color_prior_tightens_posterior(setup):
     """With a very tight color prior, cross-band flux marginals should
     shrink relative to the weak-prior posterior (the priors actually act)."""

@@ -196,6 +196,7 @@ def factorization_pair():
     return scene, srcs, (cat_f, art_f), (cat_j, art_j)
 
 
+@pytest.mark.slow
 def test_field_posterior_recovery(factorization_pair):
     scene, srcs, (cat_f, art_f), _ = factorization_pair
     assert art_f["n_groups"] == 2 and len(cat_f) == 3
@@ -309,6 +310,7 @@ def test_field_on_ingested_frame(tmp_path):
     np.testing.assert_allclose(est_flux, truth_flux, rtol=0.12)
 
 
+@pytest.mark.slow
 def test_field_sharded_groups():
     """Fit groups are data parallel: run the two-group frame with the group
     batch sharded over the 8-device mesh (padded 2 -> 8 with dead groups)
@@ -337,6 +339,7 @@ def test_field_sharded_groups():
         assert d["rhat_max"] < 1.1 and d["divergence_rate"] < 0.05, d
 
 
+@pytest.mark.slow
 def test_field_multiband_joint():
     """Two-band frames through the field pipeline: the joint likelihood
     must recover per-band fluxes AND tighten the position posterior vs the
@@ -372,6 +375,7 @@ def test_field_multiband_joint():
     assert du_std2 < du_std1, (du_std2, du_std1)
 
 
+@pytest.mark.slow
 def test_field_segmented_sampling_matches_monolithic():
     """cfg.sample_segment turns the group-sampling stage into bounded
     device calls (axon kill-edge robustness at survey scale) with the
@@ -417,6 +421,7 @@ def test_field_segmented_sampling_matches_monolithic():
             < 0.5 * dm[d["group"]]["ess_min"]
 
 
+@pytest.mark.slow
 def test_field_checkpoint_resume_bitwise(tmp_path):
     """cfg.checkpoint_path + sample_segment: kill the pipeline after the
     FIRST sampling segment (a logger that raises — stands in for an axon

@@ -9,10 +9,12 @@ convention."""
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_survives_hostile_env():
     env = dict(os.environ)
     # reconstruct the driver's env: NO defensive vars set by the caller;
@@ -30,6 +32,7 @@ def test_dryrun_multichip_survives_hostile_env():
     assert "DRYRUN_OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_reexecs_when_backend_already_cpu_but_small():
     """If a 1-device CPU backend is already initialized (config update can
     no longer widen it), the dryrun must re-exec itself rather than fail."""

@@ -32,6 +32,7 @@ def test_laplace_evidence_gaussian_exact():
     assert abs(lz - want) < 1e-4
 
 
+@pytest.mark.slow
 def test_star_classified_as_star():
     src = star_source(u=(30.0, 10.0), flux_r=40.0)
     scene = make_synthetic_stamp([src], shape=(23, 23), bands=(2,), seed=41)

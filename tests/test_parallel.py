@@ -402,6 +402,7 @@ def test_crowded_rect_logprior_matches_packed(mixed_scene_data):
     assert abs(got - want) < 1e-3, (got, want)
 
 
+@pytest.mark.slow
 def test_mixed_tiled_single_chip_parity(mixed_scene_data):
     """Mixed scenes through the single-chip BLOCK-tiled logdensity match the
     dense logdensity (likelihood + priors both)."""

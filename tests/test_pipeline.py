@@ -34,6 +34,7 @@ def pipeline_result(mixed_field):
     return run_pipeline(scene.stamps[0], band=0, n_bands=1, cfg=cfg, priors=PRIORS)
 
 
+@pytest.mark.slow
 def test_detects_all_sources(pipeline_result, mixed_field):
     catalog, artifacts = pipeline_result
     assert artifacts["n_sources"] == 3
@@ -80,6 +81,7 @@ def test_empty_field():
     assert catalog == [] and artifacts["n_sources"] == 0
 
 
+@pytest.mark.slow
 def test_multiband_pipeline():
     """ugriz joint pipeline: one star observed in 5 bands; the catalog's
     flux vector must recover the per-band SED."""
@@ -100,6 +102,7 @@ def test_multiband_pipeline():
         assert abs(float(e.flux_mean[b]) - truth) / truth < 0.25, (b, e.flux_mean, src["flux"])
 
 
+@pytest.mark.slow
 def test_pipeline_compile_count_is_o1(mixed_field, caplog):
     """VERDICT r1 #5 gate: the classify stage compiles ONE batched sweep
     function (and detection ONE fit function) regardless of candidate count
@@ -133,6 +136,7 @@ def _events(logger_buf):
     return [json.loads(line) for line in logger_buf.getvalue().splitlines()]
 
 
+@pytest.mark.slow
 def test_type_switch_overrides_heuristic_in_ambiguous_band():
     """VERDICT r2 Next #4: a compact faint galaxy whose Laplace margin is
     ~+3 nats sits in the ambiguous band — the margin+extendedness heuristic
@@ -167,6 +171,7 @@ def test_type_switch_overrides_heuristic_in_ambiguous_band():
     assert catalog[0].p_star < 0.5
 
 
+@pytest.mark.slow
 def test_classification_insensitive_to_margin_threshold():
     """VERDICT r2 Weak #7: `galaxy_margin_nats` is a tuning constant, and
     with exact type switching wired in it must only move candidates
@@ -207,6 +212,7 @@ def test_classification_insensitive_to_margin_threshold():
     assert n_sampled[3.0] <= n_sampled[10.0] <= n_sampled[30.0], n_sampled
 
 
+@pytest.mark.slow
 def test_ppc_pipeline_stage_calibrated_vs_missing_source():
     """VERDICT r2 Next #5: cfg.ppc=True scores the observed stamp against
     posterior replicates through the PIPELINE entry point.  A calibrated

@@ -90,6 +90,35 @@ def test_prep_cache_invalidates_on_knob_change(tmp_path):
                                   np.asarray(p2["states_z"].x))
 
 
+def test_chees_warm_cache_roundtrip_and_invalidation(tmp_path):
+    """The ChEES adaptation artifact (measure_chees_z warm_cache_path)
+    mirrors the prep artifact: a hit returns bitwise the saved (state,
+    eps, T); a knob change or a changed target falls back to a fresh
+    adaptation."""
+    from celeste_tpu.bench.config5 import _chees_warm_cached
+
+    prep_path = str(tmp_path / "prep.npz")
+    prep = config5_warmup_and_whiten_cached(_logd, VEC, prep_path, **KW)
+    path = str(tmp_path / "chees.npz")
+    st1, eps1, traj1 = _chees_warm_cached(prep, path, 4, 2, 16, False)
+    assert os.path.exists(path)
+    st2, eps2, traj2 = _chees_warm_cached(prep, path, 4, 2, 16, False)
+    np.testing.assert_array_equal(np.asarray(st2.xs), np.asarray(st1.xs))
+    assert eps2 == pytest.approx(eps1) and traj2 == pytest.approx(traj1)
+    # knob change -> fresh adaptation (different iteration count)
+    st3, _, _ = _chees_warm_cached(prep, path, 6, 2, 16, False)
+    assert not np.array_equal(np.asarray(st3.xs), np.asarray(st1.xs))
+    # changed target with the same fingerprint -> live probe rejects
+    prep_shift = dict(prep, logd_z=lambda z: prep["logd_z"](z) + 5.0)
+    st4, _, _ = _chees_warm_cached(prep_shift, path, 6, 2, 16, False)
+    assert not np.array_equal(np.asarray(st4.logps), np.asarray(st3.logps))
+    # the measurement arm runs end-to-end from a cache hit
+    rate, acc, _nl = measure_chees_z(prep, n_steps=8, run_segment=4,
+                                     warmup_iters=4, warmup_window=2,
+                                     verbose=False, warm_cache_path=path)
+    assert np.isfinite(rate) and rate > 0 and 0.0 < acc <= 1.0
+
+
 def test_prep_cache_live_probe_catches_stale_target(tmp_path):
     """Same fingerprint, changed density: the live logd_z probe must
     reject the cached ensemble (its stored logp is 5 nats off) and run a

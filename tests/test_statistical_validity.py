@@ -66,6 +66,7 @@ def test_flux_posterior_matches_quadrature():
     assert abs(s.std() / sd_q - 1.0) < 0.10, (s.std(), sd_q)
 
 
+@pytest.mark.slow
 def test_sbc_rank_uniformity():
     """SBC over the flux parameter: 32 replications of draw-prior ->
     simulate -> infer; ranks of truth among 63 posterior draws must be

@@ -384,6 +384,7 @@ def test_config5_parity_gate_and_radii_cut():
     assert gap_abs_big < 1.0, gap_abs_big
 
 
+@pytest.mark.slow
 def test_config5_multiband_tiled_parity_and_sampling():
     """VERDICT r2 Next #8: joint multi-band crowded config 5 — mixed-kind,
     3 bands, tiled likelihood.  Tiled<->dense parity at the gated bound,

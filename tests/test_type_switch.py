@@ -29,6 +29,7 @@ def _x0s(scene, src, n_bands=1):
 
 
 @pytest.mark.parametrize("kind", ["star", "galaxy"])
+@pytest.mark.slow
 def test_type_switch_clear_cut(kind):
     if kind == "star":
         src = star_source(u=(30.0002, 10.0001), flux_r=40.0)
@@ -66,6 +67,7 @@ def test_type_switch_agrees_with_laplace():
     assert abs(p_mcmc - p_laplace) < 0.25, (p_mcmc, p_laplace)
 
 
+@pytest.mark.slow
 def test_type_switch_state_is_vmappable():
     """The kernel is a fixed-shape pure function: a vmapped 3-chain run
     compiles and produces finite traces and a sane switch rate."""

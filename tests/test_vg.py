@@ -97,6 +97,7 @@ def test_value_and_grad_of_prefers_attribute():
     np.testing.assert_allclose(np.asarray(v), -3.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_tiled_logdensity_vg_matches_plain_grad():
     """The production consumer: make_tiled_crowded_logdensity's attached vg
     must agree with plain autodiff of the per-chain function, batched."""

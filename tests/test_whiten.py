@@ -12,6 +12,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from celeste_tpu.inference import (
     ensemble_covariance,
     hmc_init,
@@ -69,6 +71,7 @@ def test_whiten_roundtrip_and_isotropy():
     np.testing.assert_allclose(np.asarray(lz), expected, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_whitened_vg_batch_parity():
     """The wrapped logdensity's batch-aware vg must agree with plain
     autodiff (exercised on the tiled crowded logdensity, which is the
