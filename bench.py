@@ -128,6 +128,29 @@ def _stage_remaining():
     return rem
 
 
+# Transient axon-tunnel fault signatures (measured 2026-08-20: a
+# `remote_compile: read body: response body closed` killed the config5 NUTS
+# arm mid-stage while the rest of the session kept working).  One retry on
+# these is safe: the failed call never executed, and with a warm .jax_cache
+# the retry skips the compile that tripped the RPC.
+_TRANSIENT_PAT = ("remote_compile", "response body closed", "read body",
+                  "UNAVAILABLE", "Socket closed", "Connection reset")
+
+
+def _retry_transient(fn, what, min_s=20.0):
+    """Run ``fn()``; retry ONCE iff it failed with a transient tunnel fault
+    and the stage still has ``min_s`` of budget left."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        if any(p in msg for p in _TRANSIENT_PAT) and _stage_remaining() > min_s:
+            print(f"# transient tunnel fault in {what}; retrying once: "
+                  f"{msg[:160]}", file=sys.stderr)
+            return fn()
+        raise
+
+
 def _save_state():
     """Atomically persist the current RESULT snapshot for the parent."""
     tmp = STATE_PATH + ".tmp"
@@ -405,8 +428,10 @@ def _bench_config5_tiled(n_chains=1024, n_steps=32, n_warmup=150,
     # has ever held, VERDICT r3 Missing #1) and the cheaper arm; NUTS runs
     # second on whatever the cap leaves
     try:
-        rate_chees, _acc, _nl = measure_chees_z(
-            prep, warm_cache_path=prep_cache_path("config5_chees"))
+        rate_chees, _acc, _nl = _retry_transient(
+            lambda: measure_chees_z(
+                prep, warm_cache_path=prep_cache_path("config5_chees")),
+            "config5 chees arm")
         RESULT["ess_per_sec_tiled_chees"] = rate_chees
         if ORACLE_CONFIG5_ESS_RATE:
             RESULT["ess_vs_oracle_config5_chees"] = (
@@ -414,8 +439,10 @@ def _bench_config5_tiled(n_chains=1024, n_steps=32, n_warmup=150,
     except Exception as e:  # noqa: BLE001
         print(f"# config5 chees arm failed: {str(e)[:200]}", file=sys.stderr)
     _save_state()   # the NUTS arm may outlive the budget; keep ChEES
-    rate_min, div, _depth = measure_nuts_z(prep, n_steps=n_steps,
-                                           run_segment=run_segment)
+    rate_min, div, _depth = _retry_transient(
+        lambda: measure_nuts_z(prep, n_steps=n_steps,
+                               run_segment=run_segment),
+        "config5 nuts arm")
     RESULT["ess_per_sec_tiled"] = rate_min
     RESULT["tiled_divergence_frac"] = div
     if ORACLE_CONFIG5_ESS_RATE:
@@ -735,7 +762,25 @@ def _stage(name, fn, est_s, cap_s=None):
         print(f"# stage {name}: {time.time() - t:.1f}s "
               f"({_remaining():.0f}s left)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
-        print(f"# STAGE FAILED {name}: {str(e)[:300]}", file=sys.stderr)
+        msg = str(e)
+        # one stage-level retry on a transient tunnel fault, if the whole
+        # stage still fits: incremental RESULT writes make a redo idempotent
+        if (any(p in msg for p in _TRANSIENT_PAT)
+                and _remaining() > est_s
+                and os.environ.get("CELESTE_BENCH_NO_CAPS") != "1"):
+            print(f"# STAGE RETRY {name} after transient fault: {msg[:160]}",
+                  file=sys.stderr)
+            _STAGE_END = (None if cap_s is None
+                          else time.monotonic() + min(cap_s, _remaining()))
+            try:
+                fn()
+                print(f"# stage {name} (retry): {time.time() - t:.1f}s "
+                      f"({_remaining():.0f}s left)", file=sys.stderr)
+            except Exception as e2:  # noqa: BLE001
+                print(f"# STAGE FAILED {name} (retry): {str(e2)[:300]}",
+                      file=sys.stderr)
+        else:
+            print(f"# STAGE FAILED {name}: {msg[:300]}", file=sys.stderr)
     finally:
         _STAGE_END = None
     RESULT["stage_walls_s"][name] = round(time.time() - t, 1)

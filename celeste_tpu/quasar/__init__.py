@@ -24,5 +24,8 @@ from celeste_tpu.quasar.photometry import (  # noqa: F401
 from celeste_tpu.quasar.photo_z import (  # noqa: F401
     make_photo_z_logdensity,
     run_photo_z,
+    run_photo_z_batch,
+    run_photo_z_batch_segmented,
+    run_photo_z_sharded,
     PhotoZConfig,
 )

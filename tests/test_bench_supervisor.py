@@ -19,16 +19,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
 
-def _run(extra_env, timeout=180):
+def _run(extra_env, timeout=180, state_path=None):
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
                **extra_env)
     env.pop("CELESTE_BENCH_CHILD", None)
+    if state_path is not None:
+        # keep killed-subprocess state litter out of the repo root
+        env["CELESTE_BENCH_STATE"] = str(state_path)
     return subprocess.run([sys.executable, BENCH], env=env, cwd=REPO,
                           capture_output=True, text=True, timeout=timeout)
 
 
-def test_normal_path_emits_one_parseable_line():
-    p = _run({"CELESTE_BENCH_STAGE_BUDGET_S": "1"})
+def test_normal_path_emits_one_parseable_line(tmp_path):
+    p = _run({"CELESTE_BENCH_STAGE_BUDGET_S": "1"},
+             state_path=tmp_path / "state.json")
     assert p.returncode == 0, p.stderr[-2000:]
     lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, f"stdout must carry exactly one line: {lines}"
@@ -39,20 +43,21 @@ def test_normal_path_emits_one_parseable_line():
     assert rec["bench_wall_s"] is not None
 
 
-def test_sigterm_emits_snapshot_before_dying():
+def test_sigterm_emits_snapshot_before_dying(tmp_path):
     """The driver wraps the bench in ``timeout`` (SIGTERM then SIGKILL): if
     its window is ever shorter than the bench deadline, the parent must
     still print the snapshot as the one stdout line."""
     import time
 
+    state = str(tmp_path / "state.json")
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
                CELESTE_BENCH_WEDGE="1", CELESTE_BENCH_HARD_CAP_S="600",
-               CELESTE_BENCH_STAGE_BUDGET_S="500")
+               CELESTE_BENCH_STAGE_BUDGET_S="500",
+               CELESTE_BENCH_STATE=state)
     env.pop("CELESTE_BENCH_CHILD", None)
     p = subprocess.Popen([sys.executable, BENCH], env=env, cwd=REPO,
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          text=True)
-    state = os.path.join(REPO, f".bench_state.{p.pid}.json")
     try:
         # wait for init to land in the state file, then deliver the TERM
         deadline = time.time() + 120
@@ -106,11 +111,77 @@ def test_stage_cap_bounds_a_greedy_stage(tmp_path, monkeypatch):
     assert seen["rem"] > 5_000.0  # uncapped stage sees the global budget
 
 
+def _load_bench(monkeypatch, tmp_path):
+    import importlib.util
+
+    monkeypatch.setenv("CELESTE_BENCH_STATE", str(tmp_path / "state.json"))
+    spec = importlib.util.spec_from_file_location("bench_retry_mod", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    bench.BUDGET_S = 10_000.0
+    return bench
+
+
+def test_stage_retries_once_on_transient_tunnel_fault(tmp_path, monkeypatch):
+    """A transient axon RPC fault (measured 2026-08-20: `remote_compile:
+    read body: response body closed` killed the config5 NUTS arm) must cost
+    one retry, not the stage's metrics."""
+    bench = _load_bench(monkeypatch, tmp_path)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8083/remote_compile: read body: "
+                "response body closed before all bytes were read")
+        bench.RESULT["value"] = 42.0
+
+    bench._stage("flaky", flaky, est_s=0, cap_s=5)
+    assert calls["n"] == 2
+    assert bench.RESULT["value"] == 42.0
+    assert "flaky" not in bench.RESULT["stages_skipped"]
+
+
+def test_stage_does_not_retry_real_errors(tmp_path, monkeypatch):
+    bench = _load_bench(monkeypatch, tmp_path)
+    calls = {"n": 0}
+
+    def broken():
+        calls["n"] += 1
+        raise ValueError("shape mismatch: deterministic bug")
+
+    bench._stage("broken", broken, est_s=0, cap_s=5)
+    assert calls["n"] == 1  # deterministic faults must not be retried
+
+
+def test_retry_transient_helper_budget_gate(tmp_path, monkeypatch):
+    """_retry_transient only retries while the stage has budget left."""
+    bench = _load_bench(monkeypatch, tmp_path)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        raise RuntimeError("UNAVAILABLE: Socket closed")
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        bench._retry_transient(flaky, "arm", min_s=20.0)
+    assert calls["n"] == 2  # plenty of budget: one retry happened
+
+    calls["n"] = 0
+    bench.BUDGET_S = 0.0  # exhausted: no retry
+    with _pytest.raises(RuntimeError):
+        bench._retry_transient(flaky, "arm", min_s=20.0)
+    assert calls["n"] == 1
+
+
 @pytest.mark.slow
-def test_wedged_child_is_killed_and_partial_record_emitted():
+def test_wedged_child_is_killed_and_partial_record_emitted(tmp_path):
     p = _run({"CELESTE_BENCH_WEDGE": "1",
               "CELESTE_BENCH_HARD_CAP_S": "8",
-              "CELESTE_BENCH_STAGE_BUDGET_S": "5"})
+              "CELESTE_BENCH_STAGE_BUDGET_S": "5"},
+             state_path=tmp_path / "state.json")
     assert p.returncode == 0, p.stderr[-2000:]
     lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1
