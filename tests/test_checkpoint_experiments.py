@@ -104,6 +104,26 @@ def test_regression_gate_noise_aware(tmp_path, monkeypatch):
     assert len(json.load(open(path))["tput::tpu"]) == reg.HISTORY
 
 
+def test_regression_gate_outlier_history_invariant(tmp_path, monkeypatch):
+    """A value no worse than one already recorded in the history must pass:
+    with [337k, 328k, 242k] (one slow session), 3xMAD alone gives a 12.8%
+    tolerance and would flag a new 250k run as a regression even though
+    242k was itself a recorded measurement (measured crowded-ChEES noise,
+    2026-08-20)."""
+    import celeste_tpu.bench.regression as reg
+
+    path = str(tmp_path / "records.json")
+    monkeypatch.setattr(reg, "RECORDS_PATH", path)
+    for v in (337645.0, 328185.0, 242335.0):
+        reg.check_regression("chees", v, "tpu", update=True)
+    ok, ref = reg.check_regression("chees", 250000.0, "tpu")
+    assert ok, (ok, ref)
+    ok, _ = reg.check_regression("chees", 242335.0, "tpu")  # == history min
+    assert ok
+    ok, _ = reg.check_regression("chees", 160000.0, "tpu")  # genuine 2x loss
+    assert not ok
+
+
 def test_regression_gate_ratio_and_legacy(tmp_path, monkeypatch):
     import celeste_tpu.bench.regression as reg
 
