@@ -262,6 +262,9 @@ _REGRESSION_KEYS = {
     "ess_per_sec_crowded": "crowded ESS/sec min (6-star D=18 NUTS-256)",
     "ess_per_sec_crowded_chees": "crowded ESS/sec min chees",
     "photoz_targets_per_sec": "photoz targets/sec (256-batch hmc_adaptive)",
+    # steady-state device throughput: stable across tunnel-health swings
+    # (full-wall varies with init/dispatch; this is the chip's own number)
+    "photoz_targets_per_sec_steady": "photoz steady targets/sec (256-batch)",
     "tiled_field_evals_per_sec": "tiled-field evals/sec (64src 128x512 B=1024)",
     "ess_per_sec_tiled_multiband_chees": "config5 multiband ESS/sec min chees",
 }
