@@ -92,3 +92,61 @@ def plot_photo_z(z_samples, z_true=None, path: str | None = None, z_max=6.0):
         fig.savefig(path, dpi=110)
         plt.close(fig)
     return fig
+
+
+def plot_catalog_match(catalog, reference, report, path: str | None = None):
+    """Two-panel catalog-vs-reference comparison (the reference's
+    photoObj-style validation plot; SURVEY C17): matched positions with
+    residual whiskers, and per-match flux ratio with 1-sigma posterior
+    error bars.  ``report`` is ``celeste_tpu.catalog.catalog_accuracy``
+    output on the same pair."""
+    fig, (ax_p, ax_f) = plt.subplots(1, 2, figsize=(11, 4.2))
+    ref_du = np.asarray([r["du"] for r in reference], np.float64).reshape(-1, 2)
+    cat_du = np.asarray([e.du_mean for e in catalog], np.float64).reshape(-1, 2)
+    ax_p.scatter(ref_du[:, 0], ref_du[:, 1], marker="+", s=70, color="k",
+                 label="reference")
+    ax_p.scatter(cat_du[:, 0], cat_du[:, 1], marker="o", s=22,
+                 facecolors="none", edgecolors="tab:blue", label="catalog")
+    for i, j, _ in report["matches"]:
+        ax_p.plot([cat_du[i, 0], ref_du[j, 0]], [cat_du[i, 1], ref_du[j, 1]],
+                  color="tab:blue", lw=0.8, alpha=0.7)
+    for i in report["spurious"]:
+        ax_p.scatter(*cat_du[i], marker="x", s=50, color="tab:red")
+    for j in report["missed"]:
+        ax_p.scatter(*ref_du[j], marker="s", s=60, facecolors="none",
+                     edgecolors="tab:orange")
+    ax_p.set_xlabel("east offset (arcsec)")
+    ax_p.set_ylabel("north offset (arcsec)")
+    comp = report["completeness"]
+    pur = report["purity"]
+    ax_p.set_title("positions — completeness "
+                   f"{comp:.2f}, purity {pur:.2f}" if comp is not None
+                   else "positions")
+    ax_p.legend(fontsize=8)
+
+    xs, ys, es = [], [], []
+    for i, j, _ in report["matches"]:
+        f_e = np.asarray(catalog[i].flux_mean, np.float64)
+        f_s = np.asarray(catalog[i].flux_std, np.float64)
+        f_r = np.asarray(reference[j]["flux"], np.float64)
+        n_b = min(f_e.shape[0], f_r.shape[0])
+        for b in range(n_b):
+            if f_r[b] > 0:
+                xs.append(f_r[b])
+                ys.append(f_e[b] / f_r[b])
+                es.append(f_s[b] / f_r[b] if b < f_s.shape[0] else 0.0)
+    if xs:
+        ax_f.errorbar(xs, ys, yerr=es, fmt="o", ms=4, capsize=2,
+                      color="tab:blue")
+    ax_f.axhline(1.0, color="k", lw=1)
+    ax_f.set_xscale("log")
+    ax_f.set_xlabel("reference flux (nmgy)")
+    ax_f.set_ylabel("inferred / reference")
+    ax_f.set_title("photometry" + (
+        f" — rel scatter {report['flux_rel_scatter']:.3f}"
+        if report.get("flux_rel_scatter") is not None else ""))
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+    return fig

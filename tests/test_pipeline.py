@@ -46,6 +46,31 @@ def test_classification(pipeline_result):
     assert kinds == ["galaxy", "star", "star"], [(e.kind, e.p_star) for e in catalog]
 
 
+def test_catalog_accuracy_report(pipeline_result, mixed_field):
+    """The photoObj-style validation loop (celeste_tpu.catalog; SURVEY C17)
+    over a real pipeline run: perfect completeness/purity/classification on
+    the 3-source field, honest astrometry + photometry, calibrated-ish
+    posterior widths, and the comparison plot renders."""
+    from celeste_tpu.catalog import catalog_accuracy, reference_from_sources
+    from celeste_tpu.viz import plot_catalog_match
+
+    scene, srcs = mixed_field
+    catalog, _ = pipeline_result
+    ref = reference_from_sources(srcs, scene.wcs, band_slots=[2])
+    rep = catalog_accuracy(catalog, ref, max_sep_arcsec=1.0)
+    assert rep["completeness"] == 1.0 and rep["purity"] == 1.0
+    assert rep["kind_accuracy"] == 1.0
+    assert rep["pos_rms_arcsec"] < 0.2, rep["pos_rms_arcsec"]
+    assert abs(rep["flux_rel_bias"]) < 0.2, rep["flux_rel_bias"]
+    # z RMS: a strict ~1 needs many matches; 3 sources bound it loosely.
+    # The point is posterior widths are neither 10x overconfident nor
+    # degenerate (0 would mean std excluded / missing).
+    assert rep["pos_z_rms"] is not None and 0.05 < rep["pos_z_rms"] < 6.0
+    assert rep["flux_z_rms"] is not None and 0.05 < rep["flux_z_rms"] < 6.0
+    fig = plot_catalog_match(catalog, ref, rep)
+    assert fig is not None
+
+
 def test_fluxes_recovered(pipeline_result, mixed_field):
     scene, srcs = mixed_field
     catalog, _ = pipeline_result
