@@ -364,7 +364,14 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
             alive_m = jnp.asarray([c["alive"] for c in cand])
 
             @jax.jit
-            def type_switch_batch(keys, rects_amb, *effs_amb):
+            def type_switch_batch(keys, rects, flags, alive_m, idxj):
+                # effective skies computed IN-program (was a separate jit +
+                # dispatch; fused to cut the fresh-process executable count
+                # — scripts/tpu_pipeline_profile_results.json)
+                effs_all = _scene_effs(rects, flags, alive_m)
+                rects_amb = rects[idxj]
+                effs_amb = [e[idxj] for e in effs_all]
+
                 def per_cand(k, rect, *effs):
                     ls = lambda x: _logd_s(x, effs)
                     lg = lambda x: _logd_g(x, effs)
@@ -377,13 +384,12 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
                             out["x_star_mean"], out["x_gal_mean"])
                 return jax.vmap(per_cand)(keys, rects_amb, *effs_amb)
 
-            effs_all = jax.jit(_scene_effs)(rects, flags, alive_m)
             idxj = jnp.asarray(amb_idx)
             keys_amb = jax.random.split(jax.random.fold_in(key, 77),
                                         len(amb_idx))
             p_star_b, sw_b, xs_mean, xg_mean = jax.tree_util.tree_map(
-                np.asarray, type_switch_batch(keys_amb, rects[idxj],
-                                              *[e[idxj] for e in effs_all]))
+                np.asarray, type_switch_batch(keys_amb, rects, flags,
+                                              alive_m, idxj))
             for j, i in enumerate(amb_idx):
                 ps = float(p_star_b[j])
                 ci = cand[i]
@@ -426,33 +432,66 @@ def run_pipeline(stamps, band=0, n_bands: int | None = None,
     k_w, k_s, k_i = jax.random.split(key, 3)
     x0b = jnp.asarray(joint0)[None, :] + 0.005 * jax.random.normal(
         k_i, (cfg.n_chains, d_total))
-    states, ss, im = jax.vmap(
-        lambda k, x: hmc_warmup(k, logd, x, n_warmup=cfg.n_warmup,
-                                n_leapfrog=cfg.n_leapfrog)
-    )(jax.random.split(k_w, cfg.n_chains), x0b)
-    kern = nuts_kernel(logd, step_size=float(jnp.median(ss)),
-                       inv_mass=jnp.mean(im, axis=0), max_depth=cfg.max_depth)
     if cfg.sampler == "chees":
-        # probe with the diagonal NUTS kernel to pool a dense metric, then
-        # sample the whitened target with ensemble-adaptive jittered HMC
-        # (the bench-proven config-5 recipe, centralized in
-        # inference/whiten.whitened_chees_run; DESIGN.md §5)
-        from celeste_tpu.inference.whiten import whitened_chees_run
+        # The dense-metric ChEES recipe (DESIGN.md §5) fused into ONE
+        # jitted program: diagonal warmup -> fixed-leapfrog HMC probe at
+        # the adapted metric -> pooled ensemble covariance -> whitened
+        # ChEES warmup -> frozen-(eps,T) run -> on-device summaries.
+        # Measured motivation (scripts/tpu_pipeline_profile_results.json):
+        # the phase as 4-5 separate programs (incl. a NUTS probe, the
+        # largest executable in the repo) cost ~233 s fresh-process on the
+        # axon tunnel vs ~30 s in-process — per-program executable
+        # load/upload dominated, so the fix is fewer, smaller programs,
+        # not faster math.  The HMC probe replaces NUTS: its only job is
+        # feeding 32x16 pooled samples to the covariance estimate.
+        from celeste_tpu.inference import hmc_kernel
+        from celeste_tpu.inference.chees import (
+            chees_warmup, run_chees_ensemble,
+        )
+        from celeste_tpu.inference.whiten import (
+            ensemble_covariance, whiten_logdensity,
+        )
 
-        s_probe, _, _ = run_chains_ensemble(jax.random.fold_in(k_s, 1), kern,
-                                            states, n_steps=16)
-        samples, info_c, _aux = whitened_chees_run(
-            jax.random.fold_in(k_s, 2), logd, s_probe, states.x,
-            n_steps=cfg.n_steps)
-        div = float(jnp.mean(info_c.divergence_rate))
-        accept = float(jnp.mean(info_c.accept_rate))
+        @jax.jit
+        def sample_phase(k_w, k_s, x0b):
+            states, ss, im = jax.vmap(
+                lambda k, x: hmc_warmup(k, logd, x, n_warmup=cfg.n_warmup,
+                                        n_leapfrog=cfg.n_leapfrog)
+            )(jax.random.split(k_w, cfg.n_chains), x0b)
+            kern = hmc_kernel(logd, jnp.median(ss), jnp.mean(im, axis=0),
+                              n_leapfrog=cfg.n_leapfrog)
+            s_probe, _, _ = run_chains_ensemble(jax.random.fold_in(k_s, 1),
+                                                kern, states, n_steps=16)
+            m_hat, cov_hat = ensemble_covariance(s_probe, ridge=1e-4)
+            logd_z, to_x, to_z = whiten_logdensity(logd, m_hat, cov_hat)
+            st, eps, traj = chees_warmup(
+                jax.random.fold_in(k_s, 2), logd_z, to_z(states.x),
+                n_warmup=100, init_step_size=0.3, max_leapfrog=64)
+            samples_z, _, info_c = run_chees_ensemble(
+                jax.random.fold_in(k_s, 3), logd_z, st, n_steps=cfg.n_steps,
+                step_size=eps, trajectory_length=traj, max_leapfrog=64)
+            samples = to_x(samples_z)
+            kept = samples[:, cfg.n_steps // 4:]
+            return (samples, kept, summarize(kept),
+                    jnp.mean(info_c.divergence_rate),
+                    jnp.mean(info_c.accept_rate))
+
+        samples, kept, summ, div_t, acc_t = sample_phase(k_w, k_s, x0b)
+        div, accept = float(div_t), float(acc_t)
     else:
+        states, ss, im = jax.vmap(
+            lambda k, x: hmc_warmup(k, logd, x, n_warmup=cfg.n_warmup,
+                                    n_leapfrog=cfg.n_leapfrog)
+        )(jax.random.split(k_w, cfg.n_chains), x0b)
+        kern = nuts_kernel(logd, step_size=float(jnp.median(ss)),
+                           inv_mass=jnp.mean(im, axis=0),
+                           max_depth=cfg.max_depth)
         samples, _, info = run_chains_ensemble(k_s, kern, states,
                                                n_steps=cfg.n_steps)
         div = float(jnp.mean(info.diverged.astype(jnp.float32)))
         accept = None
-    kept = samples[:, cfg.n_steps // 4:]
-    summ = summarize(kept)
+        kept = samples[:, cfg.n_steps // 4:]
+        summ = summarize(kept)
     logger.log("sample", rhat_max=float(jnp.max(summ["rhat"])),
                ess_min=float(jnp.min(summ["ess"])),
                divergence_frac=div, accept_rate=accept)
