@@ -98,7 +98,15 @@ def catalog_vs_truth(catalog, truth_sources, wcs, bands=None):
     """photoObj-style comparison: per source, the flux and position pulls
     ((posterior mean - truth) / posterior sd) against a truth record (a
     list of ``data.synthetic``-style source dicts, or any dicts with 'u'
-    [ra, dec] and 'flux' [B]).  Sources are matched greedily by position.
+    [ra, dec] and 'flux' [B]).
+
+    Matching is the symmetric closest-pair cross-match
+    (``celeste_tpu.catalog.match_catalogs``) with no separation cut, so
+    a spuriously-far catalog row cannot steal a truth source from a
+    closer row.  For aggregate detection/accuracy/calibration metrics
+    over a catalog (completeness, purity, z-score RMS) use
+    ``celeste_tpu.catalog.catalog_accuracy``; this function keeps the
+    per-source pull rows, aligned to catalog order.
 
     ``bands`` maps the catalog's flux slots to truth flux indices (e.g.
     ``[2]`` for an r-band-only model against ugriz truth); identity when
@@ -106,22 +114,20 @@ def catalog_vs_truth(catalog, truth_sources, wcs, bands=None):
     matched truth index — the quantitative form of the reference's catalog
     scatter plots.
     """
+    from celeste_tpu.catalog import match_catalogs
+
     truths = [{"du": np.asarray(wcs.equa2duas(t["u"]), np.float64),
                "flux": np.asarray(t["flux"], np.float64)} for t in truth_sources]
-    used = set()
+    pairs, _, _ = match_catalogs(
+        [np.asarray(e.du_mean, np.float64) for e in catalog],
+        [t["du"] for t in truths], max_sep_arcsec=np.inf)
+    by_cat = {i: (j, d) for i, j, d in pairs}
     rows = []
-    for entry in catalog:
-        best, best_d = None, np.inf
-        for i, t in enumerate(truths):
-            if i in used:
-                continue
-            dist = float(np.hypot(*(np.asarray(entry.du_mean) - t["du"])))
-            if dist < best_d:
-                best, best_d = i, dist
-        if best is None:
+    for idx, entry in enumerate(catalog):
+        if idx not in by_cat:
             rows.append({"match": None})
             continue
-        used.add(best)
+        best, best_d = by_cat[idx]
         t = truths[best]
         slots = (np.asarray(bands, int) if bands is not None
                  else np.arange(len(entry.flux_mean)))
