@@ -176,6 +176,47 @@ def test_retry_transient_helper_budget_gate(tmp_path, monkeypatch):
     assert calls["n"] == 1
 
 
+def test_preinit_hang_triggers_cooldown_respawn(tmp_path):
+    """The tunnel-attach hang (DESIGN.md §9, observed 2026-08-21: child
+    blocked in the first RPC forever, state file never written) must cost
+    one cooled-down respawn, not the whole record.  The first child wedges
+    before init; the parent's init watchdog kills it, cools down, and the
+    respawned child completes normally (stages est-skipped on the tiny
+    leftover budget)."""
+    p = _run({"CELESTE_BENCH_WEDGE_PREINIT_ONCE": str(tmp_path / "marker"),
+              "CELESTE_BENCH_INIT_WATCHDOG_S": "3",
+              "CELESTE_BENCH_RESPAWN_COOLDOWN_S": "1",
+              "CELESTE_BENCH_RESPAWN_MIN_S": "5",
+              "CELESTE_BENCH_HARD_CAP_S": "25",
+              "CELESTE_BENCH_STAGE_BUDGET_S": "1"},
+             state_path=tmp_path / "state.json")
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "respawning once" in p.stderr
+    lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must carry exactly one line: {lines}"
+    rec = json.loads(lines[0])
+    # the SECOND child ran: init landed, and the record is parseable
+    assert rec["tunnel_init_s"] is not None
+    assert rec["bench_wall_s"] is not None
+
+
+def test_preinit_crash_triggers_cooldown_respawn(tmp_path):
+    """A child that dies before writing any state (transient attach/import
+    failure) is the same failure class: one cooled-down retry."""
+    p = _run({"CELESTE_BENCH_CRASH_PREINIT_ONCE": str(tmp_path / "marker"),
+              "CELESTE_BENCH_RESPAWN_COOLDOWN_S": "1",
+              "CELESTE_BENCH_RESPAWN_MIN_S": "5",
+              "CELESTE_BENCH_HARD_CAP_S": "25",
+              "CELESTE_BENCH_STAGE_BUDGET_S": "1"},
+             state_path=tmp_path / "state.json")
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "respawning once" in p.stderr
+    lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["tunnel_init_s"] is not None
+
+
 @pytest.mark.slow
 def test_wedged_child_is_killed_and_partial_record_emitted(tmp_path):
     p = _run({"CELESTE_BENCH_WEDGE": "1",
