@@ -45,6 +45,19 @@ STATE_PATH = os.environ.get(
 IS_CHILD = os.environ.get("CELESTE_BENCH_CHILD") == "1"
 
 if IS_CHILD:
+    # pre-init test hooks (parent-watchdog coverage, tests/test_bench_
+    # supervisor.py): fire BEFORE the heavy imports so compressed-timescale
+    # tests are not racing the ~15-40 s jax import; first child only — the
+    # marker file lets the respawned child proceed normally
+    _marker = os.environ.get("CELESTE_BENCH_WEDGE_PREINIT_ONCE")
+    if _marker and not os.path.exists(_marker):
+        open(_marker, "w").close()
+        time.sleep(100000)
+    _marker = os.environ.get("CELESTE_BENCH_CRASH_PREINIT_ONCE")
+    if _marker and not os.path.exists(_marker):
+        open(_marker, "w").close()
+        sys.exit(3)
+
     import numpy as np
 
     import jax
@@ -791,17 +804,6 @@ def _stage(name, fn, est_s, cap_s=None):
 
 
 def child_main():
-    # test hooks for the parent's pre-init watchdog (tunnel-attach hang /
-    # crash before any state file exists): fire on the FIRST child only —
-    # the marker file lets the respawned child proceed normally
-    marker = os.environ.get("CELESTE_BENCH_WEDGE_PREINIT_ONCE")
-    if marker and not os.path.exists(marker):
-        open(marker, "w").close()
-        time.sleep(100000)
-    marker = os.environ.get("CELESTE_BENCH_CRASH_PREINIT_ONCE")
-    if marker and not os.path.exists(marker):
-        open(marker, "w").close()
-        sys.exit(3)
     _measure_init()
     if os.environ.get("CELESTE_BENCH_WEDGE") == "1":
         # test hook: simulate a wedged device call / GIL-holding compile so
@@ -919,7 +921,12 @@ def parent_main():
         except Exception:  # noqa: BLE001
             pass
         time.sleep(respawn_cooldown_s)
-        budget = max(15.0, BUDGET_S - _elapsed() - 10.0)
+        # tests pin the respawned child's budget so compressed-timescale
+        # runs stay deterministic under CPU load (child startup is a fixed
+        # ~15-40 s cost that does not scale with the budget)
+        budget_env = os.environ.get("CELESTE_BENCH_RESPAWN_CHILD_BUDGET_S")
+        budget = (float(budget_env) if budget_env
+                  else max(15.0, BUDGET_S - _elapsed() - 10.0))
         child = _spawn_child(budget_s=budget)
         respawned = True
         child_t0 = time.monotonic()

@@ -187,7 +187,11 @@ def test_preinit_hang_triggers_cooldown_respawn(tmp_path):
               "CELESTE_BENCH_INIT_WATCHDOG_S": "3",
               "CELESTE_BENCH_RESPAWN_COOLDOWN_S": "1",
               "CELESTE_BENCH_RESPAWN_MIN_S": "5",
-              "CELESTE_BENCH_HARD_CAP_S": "25",
+              # generous parent deadline + a pinned tiny child budget:
+              # child STARTUP (~15-40 s import under load) is a fixed cost,
+              # so a compressed deadline races it flakily
+              "CELESTE_BENCH_RESPAWN_CHILD_BUDGET_S": "1",
+              "CELESTE_BENCH_HARD_CAP_S": "150",
               "CELESTE_BENCH_STAGE_BUDGET_S": "1"},
              state_path=tmp_path / "state.json")
     assert p.returncode == 0, p.stderr[-2000:]
@@ -206,7 +210,8 @@ def test_preinit_crash_triggers_cooldown_respawn(tmp_path):
     p = _run({"CELESTE_BENCH_CRASH_PREINIT_ONCE": str(tmp_path / "marker"),
               "CELESTE_BENCH_RESPAWN_COOLDOWN_S": "1",
               "CELESTE_BENCH_RESPAWN_MIN_S": "5",
-              "CELESTE_BENCH_HARD_CAP_S": "25",
+              "CELESTE_BENCH_RESPAWN_CHILD_BUDGET_S": "1",
+              "CELESTE_BENCH_HARD_CAP_S": "150",
               "CELESTE_BENCH_STAGE_BUDGET_S": "1"},
              state_path=tmp_path / "state.json")
     assert p.returncode == 0, p.stderr[-2000:]
