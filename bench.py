@@ -38,6 +38,7 @@ wall time.
 import json
 import os
 import sys
+import threading
 import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -49,20 +50,127 @@ STATE_PATH = os.environ.get(
     os.path.join(_REPO, f".bench_state.{os.getpid()}.json"))
 IS_CHILD = os.environ.get("CELESTE_BENCH_CHILD") == "1"
 
+# ---- phase-stamped child state (VERDICT r4 Next #1a) -----------------
+# The round-4 driver record died because the parent could not tell a hung
+# attach from a slow one: the first state write happened only AFTER init
+# completed, so detection waited the full blind watchdog and the respawned
+# child got no watchdog at all.  Now the child writes a phase-stamped,
+# heartbeat-updated state file from its VERY FIRST lines (before the jax
+# import), and a daemon thread self-exits with rc=17 when an init phase
+# stalls past its limit — a hung tunnel RPC read does not hold the GIL
+# (the r4 hang: child blocked at ~0 CPU), so the thread keeps running and
+# detection happens in the child, phase-accurately, for EVERY child.
+_STATE_LOCK = threading.Lock()
+_META = {"phase": "spawned", "phase_t0": time.time(),
+         "child_pid": os.getpid(), "phase_walls": {}, "stalled": None}
+_EXIT_STALLED = 17   # child rc: self-detected init-phase stall
+
+# Per-phase stall limits (seconds in ONE phase before the child declares
+# itself hung).  Healthy numbers measured on this VM: jax import 15-40 s;
+# tiny first op ~1 s (completes even in the hazard state, DESIGN.md §9);
+# first substantive program 110-150 s warm, outliers to ~400 s when the
+# pool is cold; pallas bring-up is per-program-type and once stalled
+# ~290 s on a live session.  Limits sit above the warm mode but below
+# "forever": killing a live-but-slow outlier costs one cooled respawn,
+# while waiting out a true hang costs the whole record (r4: 830 s, zero
+# stages).  Override: CELESTE_BENCH_STALL_S="spawned=2,import=5,..." .
+_STALL_LIMITS = {"spawned": 300.0, "import": 240.0, "tiny_op": 150.0,
+                 "first_program": 270.0, "pallas_probe": 300.0}
+for _kv in os.environ.get("CELESTE_BENCH_STALL_S", "").split(","):
+    if "=" in _kv:
+        _k, _v = _kv.split("=", 1)
+        _STALL_LIMITS[_k.strip()] = float(_v)
+
+
+def _write_state_locked():
+    snap = dict(globals().get("RESULT") or {})
+    snap["supervisor_child"] = dict(_META,
+                                    phase_walls=dict(_META["phase_walls"]))
+    snap["heartbeat_t"] = time.time()
+    tmp = STATE_PATH + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(snap, fh)
+    os.replace(tmp, STATE_PATH)
+
+
+def _write_state():
+    with _STATE_LOCK:
+        _write_state_locked()
+
+
+def _set_phase(name):
+    with _STATE_LOCK:
+        now = time.time()
+        _META["phase_walls"][_META["phase"]] = round(
+            now - _META["phase_t0"], 1)
+        _META["phase"] = name
+        _META["phase_t0"] = now
+        _write_state_locked()
+
+
+def _heartbeat_loop():
+    while True:
+        time.sleep(2.0)
+        with _STATE_LOCK:
+            phase = _META["phase"]
+            age = time.time() - _META["phase_t0"]
+            limit = _STALL_LIMITS.get(phase)
+            if limit is not None and age > limit:
+                _META["stalled"] = phase
+                _META["phase_walls"][phase] = round(age, 1)
+                try:
+                    _write_state_locked()
+                except Exception:  # noqa: BLE001
+                    pass
+                print(f"# CHILD: init phase '{phase}' stalled {age:.0f}s "
+                      f"(limit {limit:.0f}s) — self-exiting rc="
+                      f"{_EXIT_STALLED} so the parent can cool down and "
+                      "respawn", file=sys.stderr, flush=True)
+                os._exit(_EXIT_STALLED)
+            try:
+                _write_state_locked()
+            except Exception:  # noqa: BLE001
+                pass
+
+
 if IS_CHILD:
-    # pre-init test hooks (parent-watchdog coverage, tests/test_bench_
+    _write_state()
+    threading.Thread(target=_heartbeat_loop, daemon=True).start()
+    # pre-init test hooks (supervisor coverage, tests/test_bench_
     # supervisor.py): fire BEFORE the heavy imports so compressed-timescale
     # tests are not racing the ~15-40 s jax import; first child only — the
     # marker file lets the respawned child proceed normally
     _marker = os.environ.get("CELESTE_BENCH_WEDGE_PREINIT_ONCE")
+    if _marker:
+        # GIL-free hang (the observed pathology: blocked RPC read, ~0 CPU).
+        # The heartbeat thread keeps beating and self-exits at the
+        # 'spawned' stall limit.  The marker file counts wedged children so
+        # tests can hang the first N spawns (r4's killer was the SECOND
+        # child hanging too).
+        try:
+            with open(_marker) as _fh:
+                _count = int(_fh.read().strip() or 0)
+        except FileNotFoundError:
+            _count = 0
+        if _count < int(os.environ.get("CELESTE_BENCH_WEDGE_PREINIT_TIMES",
+                                       "1")):
+            with open(_marker, "w") as _fh:
+                _fh.write(str(_count + 1))
+            time.sleep(100000)
+    _marker = os.environ.get("CELESTE_BENCH_FREEZE_PREINIT_ONCE")
     if _marker and not os.path.exists(_marker):
+        # GIL-held freeze (a compile-wedge analog): SIGSTOP halts EVERY
+        # thread, so the heartbeat goes stale and only the PARENT's
+        # stale-heartbeat watchdog can catch it.
+        import signal as _signal
         open(_marker, "w").close()
-        time.sleep(100000)
+        os.kill(os.getpid(), _signal.SIGSTOP)
     _marker = os.environ.get("CELESTE_BENCH_CRASH_PREINIT_ONCE")
     if _marker and not os.path.exists(_marker):
         open(_marker, "w").close()
         sys.exit(3)
 
+    _set_phase("import")
     import numpy as np
 
     import jax
@@ -170,11 +278,9 @@ def _retry_transient(fn, what, min_s=20.0):
 
 
 def _save_state():
-    """Atomically persist the current RESULT snapshot for the parent."""
-    tmp = STATE_PATH + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(RESULT, fh)
-    os.replace(tmp, STATE_PATH)
+    """Atomically persist the current RESULT snapshot (+ child phase meta)
+    for the parent."""
+    _write_state()
 
 
 def _measure_init():
@@ -183,9 +289,16 @@ def _measure_init():
     ``jnp.zeros`` is not enough: it reported 1 s while the first real
     kernel execution then stalled 60-586 s (measured across four sessions
     — device/pool bring-up happens lazily at the first substantive
-    program), so the probe runs an actual matmul round trip."""
+    program), so the probe runs an actual matmul round trip.  Each probe
+    is its own stall-limited phase: the attach hang (DESIGN.md §9) strikes
+    the first BIG program transfer while tiny ops still complete, so the
+    phase that sticks names the failure mode in the state file and the
+    attach log."""
     global BUDGET_S
     t = time.time()
+    _set_phase("tiny_op")
+    (jnp.zeros((8, 8), jnp.float32) + 1.0).block_until_ready()
+    _set_phase("first_program")
     x = jax.random.normal(jax.random.key(0), (512, 512), jnp.float32)
     jnp.sum(x @ x).block_until_ready()
     # the XLA matmul alone still missed a ~290 s stall that then hit the
@@ -193,6 +306,7 @@ def _measure_init():
     # tunnel) — probe a tiny fused-kernel call too.  TPU only: on CPU the
     # kernel runs in interpret mode (minutes of tracing) and there is no
     # tunnel to bring up.
+    _set_phase("pallas_probe")
     try:
         if jax.default_backend() != "tpu":
             raise RuntimeError("non-tpu backend: pallas probe skipped")
@@ -207,6 +321,7 @@ def _measure_init():
                              impl="pallas").block_until_ready()
     except Exception as e:  # noqa: BLE001 — probe only; evals stage retries
         print(f"# init pallas probe failed: {str(e)[:200]}", file=sys.stderr)
+    _set_phase("stages")   # no stall limit: caps + deadline govern stages
     init_s = time.time() - t
     RESULT["tunnel_init_s"] = round(init_s, 1)
     if not _ENV_BUDGET:
@@ -267,6 +382,7 @@ def _finish_child():
     except Exception:  # noqa: BLE001
         pass
     _update_regression_history()
+    _set_phase("done")
     _save_state()
 
 
@@ -460,6 +576,12 @@ def _bench_config5_tiled(n_chains=1024, n_steps=32, n_warmup=150,
     except Exception as e:  # noqa: BLE001
         print(f"# config5 chees arm failed: {str(e)[:200]}", file=sys.stderr)
     _save_state()   # the NUTS arm may outlive the budget; keep ChEES
+    if os.environ.get("CELESTE_BENCH_C5_CHEES_ONLY") == "1":
+        # respawn shortlist mode (VERDICT r4 Next #1d): after a hang-cycle
+        # the leftover budget buys the flagship ChEES number, not both arms
+        print("# config5 NUTS arm skipped (respawn shortlist)",
+              file=sys.stderr)
+        return
     rate_min, div, _depth = _retry_transient(
         lambda: measure_nuts_z(prep, n_steps=n_steps,
                                run_segment=run_segment),
@@ -835,77 +957,272 @@ def child_main():
     # photoz 41.0, tiled 24.9 — sum ~330; multiband ~120 and pipeline ~60
     # fit the 540 s budget whenever tunnel init is healthy, and degrade to
     # clean est-gated skips (never a mid-stage kill) when it is not.
-    _stage("evals", _bench_evals_per_sec, est_s=30, cap_s=45)
-    _stage("config5_tiled", _bench_config5_tiled, est_s=60, cap_s=190)
-    _stage("crowded_ess", _bench_ess_per_sec, est_s=40, cap_s=150)
-    _stage("photoz_batch", _bench_photoz_batch, est_s=40, cap_s=70)
-    _stage("tiled_field", _bench_tiled_field, est_s=10, cap_s=35)
-    _stage("config5_multiband", _bench_config5_multiband, est_s=60, cap_s=165)
-    # last on purpose: the pipeline is one monolithic flow with no
-    # deadline hooks, so an overrun can only eat its own (final) slot
-    _stage("pipeline", _bench_pipeline_walltime, est_s=60)
+    plan = [
+        ("evals", _bench_evals_per_sec, 30, 45),
+        ("config5_tiled", _bench_config5_tiled, 60, 190),
+        ("crowded_ess", _bench_ess_per_sec, 40, 150),
+        ("photoz_batch", _bench_photoz_batch, 40, 70),
+        ("tiled_field", _bench_tiled_field, 10, 35),
+        ("config5_multiband", _bench_config5_multiband, 60, 165),
+        # last on purpose: the pipeline is one monolithic flow with no
+        # deadline hooks, so an overrun can only eat its own (final) slot
+        ("pipeline", _bench_pipeline_walltime, 60, None),
+    ]
+    # respawn shortlist (VERDICT r4 Next #1d): after a hang-cycle the
+    # parent hands the child only the stages its leftover budget can land
+    only = [s.strip() for s in
+            os.environ.get("CELESTE_BENCH_STAGES", "").split(",") if s.strip()]
+    for name, fn, est, cap in plan:
+        if only and name not in only:
+            RESULT["stages_skipped"].append(name)
+            continue
+        _stage(name, fn, est_s=est, cap_s=cap)
     _finish_child()
 
 
 def parent_main():
     """Thin supervisor: owns stdout and the deadline; never imports jax.
-    Always prints exactly one JSON line and exits 0."""
+    Always prints exactly one JSON line and exits 0.
+
+    Attach-hang recovery (VERDICT r4 Next #1 — the round-4 driver record
+    was all-null because the first child hung in its first big program
+    transfer, the 180 s cooldown was below the measured ~5-10 min tunnel
+    recovery time, and the respawned child got no watchdog at all):
+
+    - EVERY child is watchdogged: the child itself self-exits rc=17 when
+      an init phase stalls (its heartbeat thread keeps running through a
+      hung RPC read — the hang does not hold the GIL), and the parent
+      backs that up with a stale-heartbeat check (a GIL-held freeze stops
+      the heartbeat too) and a hard init deadline.
+    - The cooldown is adaptive: as long as the remaining window affords
+      while reserving init + a shortlist of stages, floored at 300 s
+      (DESIGN.md §9: 180 s was measured to be below the recovery time).
+    - Respawned children run a stage SHORTLIST sized to what is left
+      (evals -> config5 ChEES arm -> photo-z), and a second respawn is
+      permitted while the window affords one.
+    - OVERTIME: if the deadline arrives while the record still has zero
+      metrics and init never completed, emitting on time guarantees a
+      worthless record — so the parent extends its own window (up to
+      CELESTE_BENCH_OVERTIME_S) and keeps recovering.  The SIGTERM
+      handler protects the downside: if the driver's outer ``timeout``
+      fires first, the last snapshot is still printed as THE line.
+    - Every attach/hang/respawn event is appended to a committed JSONL
+      (scripts/attach_log.jsonl) so the pathology's frequency and
+      recovery statistics stop being anecdotes (VERDICT r4 Next #2).
+
+    No pre-attach canary, deliberately: DESIGN.md §9 records a hang whose
+    only correlate was attaching ~60 s after a CLEANLY EXITED session —
+    a successful canary would itself put the main child inside that
+    hazard window.  The first child IS the canary: its init is
+    phase-stamped, self-timing, and cheap to kill.
+    """
     import signal
     import subprocess
+    from datetime import datetime, timezone
 
     try:
         os.remove(STATE_PATH)
     except FileNotFoundError:
         pass
 
-    def _spawn_child(budget_s=None):
-        env = dict(os.environ, CELESTE_BENCH_CHILD="1",
-                   CELESTE_BENCH_STATE=STATE_PATH)
-        if budget_s is not None:
-            env["CELESTE_BENCH_BUDGET_S"] = str(round(budget_s, 1))
-        # child stdout -> our stderr so no stray print can pollute the record
-        return subprocess.Popen([sys.executable, os.path.abspath(__file__)],
-                                env=env, stdout=sys.stderr.fileno())
-
-    child = _spawn_child()
-
-    # Tunnel-hang watchdog (observed 2026-08-20/21, DESIGN.md §9): a session
-    # occasionally attaches in a state where the first substantive program
-    # transfer hangs FOREVER (child blocked in an RPC, ~0 CPU, no state file
-    # ever written).  Stage caps can't fire — the child is inside a device
-    # call — so without this the whole record dies with the global deadline.
-    # If the child has produced NO state file (written at tunnel-init, before
-    # any stage) after INIT_WATCHDOG_S, kill it, cool the tunnel down
-    # (re-attaching immediately after a killed-mid-RPC process is exactly
-    # what perpetuates the hang), and respawn ONCE with the remaining
-    # budget.  A respawn costs one outlier-slow-but-live init (observed 1 in
-    # ~4 sessions >240 s) but converts the never-recovering hang from a
-    # zero-stage record into a most-stages record.
+    # parent backup watchdogs (the child's own stall limits fire first on
+    # the GIL-free hang; these catch frozen/never-started children)
     init_watchdog_s = float(os.environ.get(
-        "CELESTE_BENCH_INIT_WATCHDOG_S", "240"))
-    respawn_cooldown_s = float(os.environ.get(
-        "CELESTE_BENCH_RESPAWN_COOLDOWN_S", "180"))
+        "CELESTE_BENCH_INIT_WATCHDOG_S", "330"))
+    hb_stale_s = float(os.environ.get("CELESTE_BENCH_HB_STALE_S", "90"))
+    no_state_s = float(os.environ.get("CELESTE_BENCH_NO_STATE_S", "90"))
+    # cooldown floor raised 180 -> 300 (ADVICE r4: DESIGN.md §9's own data
+    # says recovery takes ~5-10 min); actual cooldown adapts upward to
+    # whatever the window affords after reserving init + shortlist
+    cooldown_min_s = float(os.environ.get(
+        "CELESTE_BENCH_RESPAWN_COOLDOWN_S", "300"))
+    cooldown_max_s = float(os.environ.get(
+        "CELESTE_BENCH_RESPAWN_COOLDOWN_MAX_S", "600"))
     # minimum post-cooldown budget that makes a respawn worth it (tunnel
     # init alone is ~110 s on a healthy session); tiny in tests
     respawn_min_s = float(os.environ.get(
         "CELESTE_BENCH_RESPAWN_MIN_S", "150"))
-    respawned = False
+    max_spawns = int(os.environ.get("CELESTE_BENCH_MAX_SPAWNS", "3"))
+    overtime_pool_s = float(os.environ.get(
+        "CELESTE_BENCH_OVERTIME_S", "1200"))
+    shortlist = os.environ.get("CELESTE_BENCH_RESPAWN_STAGES",
+                               "evals,config5_tiled,photoz_batch")
+    # respawned-child window that still fits the FULL stage list; below
+    # it, hand the child the shortlist (warm walls: init ~150 + evals ~10
+    # + config5 ChEES ~80 + photoz ~50)
+    shortlist_below_s = float(os.environ.get(
+        "CELESTE_BENCH_SHORTLIST_BELOW_S", "450"))
+    # init ~170 + shortlist ~130 + emit margin; tiny in compressed tests
+    reserve_s = float(os.environ.get("CELESTE_BENCH_RESPAWN_RESERVE_S", "320"))
+    attach_log = os.environ.get(
+        "CELESTE_BENCH_ATTACH_LOG",
+        os.path.join(_REPO, "scripts", "attach_log.jsonl"))
+
+    events = []
+    hang_phases = []
+    overtime_granted = 0.0
+    spawn_count = 0
+    child = None
     child_t0 = time.monotonic()
+    init_logged = False
+
+    def _log(event, **details):
+        rec = {"ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+               "event": event, "elapsed_s": round(_elapsed(), 1),
+               "spawn": spawn_count, "pid": os.getpid()}
+        rec.update(details)
+        events.append(rec)
+        msg = " ".join(f"{k}={v}" for k, v in details.items())
+        print(f"# PARENT: {event} {msg}".rstrip(), file=sys.stderr)
+        try:
+            with open(attach_log, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+        except Exception:  # noqa: BLE001 — telemetry must never kill the run
+            pass
+
+    def _read_state(any_child=False):
+        """Current state snapshot, or None.  Guarded by the writer's pid:
+        after a respawn the PREVIOUS child's file must not masquerade as
+        the new child's liveness (a stale heartbeat from a killed child
+        once triggered a false hang on the fresh one).  ``any_child=True``
+        returns whatever is on disk (final emit, metric checks)."""
+        try:
+            with open(STATE_PATH) as fh:
+                st = json.load(fh)
+        except Exception:  # noqa: BLE001 — not written yet / mid-replace
+            return None
+        if not any_child and child is not None:
+            pid = (st.get("supervisor_child") or {}).get("child_pid")
+            if pid is not None and pid != child.pid:
+                return None
+        return st
+
+    def _child_meta(st):
+        return (st or {}).get("supervisor_child") or {}
+
+    def _init_done(st):
+        return st is not None and st.get("tunnel_init_s") is not None
+
+    def _has_metrics(st):
+        return st is not None and (st.get("value") or 0) > 0
+
+    def _window():
+        return BUDGET_S + overtime_granted
+
+    def _spawn_child(budget_s=None, stages=None):
+        nonlocal child, child_t0, spawn_count, init_logged
+        env = dict(os.environ, CELESTE_BENCH_CHILD="1",
+                   CELESTE_BENCH_STATE=STATE_PATH)
+        if budget_s is not None:
+            env["CELESTE_BENCH_BUDGET_S"] = str(round(budget_s, 1))
+        if stages:
+            env["CELESTE_BENCH_STAGES"] = stages
+            env["CELESTE_BENCH_C5_CHEES_ONLY"] = "1"
+        spawn_count += 1
+        init_logged = False
+        _log("spawn", budget_s=None if budget_s is None else round(budget_s, 1),
+             stages=stages or "all")
+        child_t0 = time.monotonic()
+        # child stdout -> our stderr so no stray print can pollute the record
+        child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                 env=env, stdout=sys.stderr.fileno())
+
+    def _kill_child():
+        try:
+            child.kill()
+            child.wait()
+        except Exception:  # noqa: BLE001
+            pass
+
+    def _grant_overtime(need_abs_s):
+        """Extend the parent's window to ``need_abs_s`` (parent clock) from
+        the overtime pool.  Only when the record would otherwise be
+        worthless — zero metrics so far.  Returns True if the window now
+        covers the need."""
+        nonlocal overtime_granted
+        if _window() >= need_abs_s:
+            return True
+        if _has_metrics(_read_state()):
+            return False   # a real record exists: emit on time instead
+        grant = min(overtime_pool_s - overtime_granted,
+                    need_abs_s - _window())
+        if grant <= 0:
+            return False
+        overtime_granted += grant
+        _log("overtime_granted", grant_s=round(grant, 1),
+             total_overtime_s=round(overtime_granted, 1))
+        return _window() >= need_abs_s
+
+    def _hang_cycle(reason, st):
+        """Kill the child, cool the tunnel, respawn on a shortlist.
+        Returns False when out of spawns/window (caller emits)."""
+        meta = _child_meta(st)
+        hang_phases.append(meta.get("phase") or "no_state")
+        _log("hang_detected", reason=reason, phase=meta.get("phase"),
+             phase_walls=meta.get("phase_walls"))
+        _kill_child()
+        try:
+            # the dead child's file must not shadow the next child's state
+            # (respawns only ever happen pre-init, so nothing is lost)
+            os.remove(STATE_PATH)
+        except FileNotFoundError:
+            pass
+        if spawn_count >= max_spawns:
+            _log("respawn_exhausted", max_spawns=max_spawns)
+            return False
+        need = _elapsed() + cooldown_min_s + respawn_min_s + 20.0
+        if not _grant_overtime(need):
+            _log("respawn_unaffordable",
+                 remaining_s=round(_window() - _elapsed(), 1))
+            return False
+        avail = _window() - _elapsed()
+        cooldown = min(cooldown_max_s, max(cooldown_min_s, avail - reserve_s))
+        _log("cooldown", cooldown_s=round(cooldown, 1))
+        time.sleep(cooldown)
+        # give the respawned child at least the reserve window (init + the
+        # shortlist) even when that means dipping into overtime: a child
+        # spawned into a sliver re-pays the ~150 s init for nothing
+        _grant_overtime(_elapsed() + reserve_s)
+        # tests pin the respawned child's budget so compressed-timescale
+        # runs stay deterministic under CPU load (child startup is a fixed
+        # ~15-40 s cost that does not scale with the budget)
+        budget_env = os.environ.get("CELESTE_BENCH_RESPAWN_CHILD_BUDGET_S")
+        budget = (float(budget_env) if budget_env
+                  else max(15.0, _window() - _elapsed() - 10.0))
+        _spawn_child(budget_s=budget,
+                     stages=shortlist if budget < shortlist_below_s else None)
+        return True
+
+    def _build_result():
+        result = dict(RESULT)
+        st = _read_state()
+        if st is None:
+            print("# PARENT: no state file", file=sys.stderr)
+        else:
+            result.update(st)
+        meta = result.pop("supervisor_child", None) or {}
+        result.pop("heartbeat_t", None)
+        # compact by design: the driver stores only the stdout tail, so the
+        # one JSON line must stay well under its truncation window
+        result["supervisor"] = {
+            "spawns": spawn_count,
+            "overtime_s": round(overtime_granted, 1),
+            "phase": meta.get("phase"),
+            "hangs": hang_phases,
+        }
+        return result
 
     def _emit_snapshot_and_exit(signum, frame):  # noqa: ANN001
         # the driver wraps the bench in ``timeout``, which delivers SIGTERM
-        # before SIGKILL: if its window is ever shorter than our deadline,
-        # print the last completed snapshot as THE line before dying so the
-        # round's record is the bench's own JSON even on rc=124
-        result = dict(RESULT)
-        try:
-            with open(STATE_PATH) as fh:
-                result.update(json.load(fh))
-        except Exception:  # noqa: BLE001 — state not written yet
-            pass
+        # before SIGKILL: if its window is ever shorter than our deadline
+        # (or overtime gambled past it), print the last completed snapshot
+        # as THE line before dying so the round's record is the bench's own
+        # JSON even on rc=124
+        result = _build_result()
         result["bench_wall_s"] = round(_elapsed(), 1)
         sys.stdout.write(json.dumps(result) + "\n")
         sys.stdout.flush()
+        _log("sigterm_emit", value=result.get("value"))
         try:
             child.kill()
         except Exception:  # noqa: BLE001
@@ -916,78 +1233,81 @@ def parent_main():
     signal.signal(signal.SIGINT, _emit_snapshot_and_exit)
     grace = 30.0
     killed = False
-    def _respawn(reason):
-        nonlocal child, respawned, child_t0
-        print(f"# PARENT: {reason} — killing child, cooling the tunnel "
-              f"{respawn_cooldown_s:.0f}s, respawning once", file=sys.stderr)
-        try:
-            child.kill()
-            child.wait()
-        except Exception:  # noqa: BLE001
-            pass
-        time.sleep(respawn_cooldown_s)
-        # tests pin the respawned child's budget so compressed-timescale
-        # runs stay deterministic under CPU load (child startup is a fixed
-        # ~15-40 s cost that does not scale with the budget)
-        budget_env = os.environ.get("CELESTE_BENCH_RESPAWN_CHILD_BUDGET_S")
-        budget = (float(budget_env) if budget_env
-                  else max(15.0, BUDGET_S - _elapsed() - 10.0))
-        child = _spawn_child(budget_s=budget)
-        respawned = True
-        child_t0 = time.monotonic()
 
+    _spawn_child()
     while True:
         rc = child.poll()
-        state_exists = os.path.exists(STATE_PATH)
+        st = _read_state()
         child_age = time.monotonic() - child_t0
+        if not init_logged and _init_done(st):
+            init_logged = True
+            _log("init_done", init_s=st.get("tunnel_init_s"),
+                 phase_walls=_child_meta(st).get("phase_walls"),
+                 backend=st.get("backend"))
         if rc is not None:
-            # a crash before tunnel init ever completed (no state file) is
-            # the same transient-attach failure class as the hang: worth one
-            # cooled-down retry while the budget allows
-            if (rc != 0 and not state_exists and not respawned
-                    and BUDGET_S - _elapsed() - respawn_cooldown_s
-                    > respawn_min_s):
-                _respawn(f"child died rc={rc} before tunnel init")
-                continue
+            if rc == 0 and st is not None and st.get("bench_wall_s") is not None:
+                break   # clean finish
+            if not _init_done(st):
+                # the attach-failure class: self-detected stall (rc=17),
+                # pre-init crash, or a kill race — one cooled-down respawn
+                if _hang_cycle(f"child died rc={rc} before tunnel init", st):
+                    continue
+            else:
+                _log("child_died_post_init", rc=rc)
             break
-        if (not state_exists and not respawned
-                and child_age > init_watchdog_s
-                and BUDGET_S - _elapsed() - respawn_cooldown_s
-                > respawn_min_s):
-            _respawn(f"no tunnel init after {child_age:.0f}s (hang?)")
-            continue
+        if not _init_done(st):
+            # pre-init liveness: post-init, long GIL-holding compiles are
+            # legal, so these watchdogs only guard the attach
+            if st is None and child_age > no_state_s:
+                if _hang_cycle(f"no state file after {child_age:.0f}s", st):
+                    continue
+                break
+            if st is not None:
+                hb_age = time.time() - st.get("heartbeat_t", 0.0)
+                if hb_age > hb_stale_s:
+                    if _hang_cycle(
+                            f"heartbeat stale {hb_age:.0f}s pre-init "
+                            "(frozen child?)", st):
+                        continue
+                    break
+                if child_age > init_watchdog_s:
+                    if _hang_cycle(
+                            f"no tunnel init after {child_age:.0f}s", st):
+                        continue
+                    break
         deadline = BUDGET_S
-        try:
-            with open(STATE_PATH) as fh:
-                # the child's budget counts from ITS start; shift into the
-                # parent's clock (matters after a respawn)
-                deadline = (float(json.load(fh).get("bench_budget_s",
-                                                    BUDGET_S))
-                            + max(0.0, child_t0 - _T0))
-        except Exception:  # noqa: BLE001 — state not written yet
-            pass
+        if st is not None:
+            # the child's budget counts from ITS start; shift into the
+            # parent's clock (matters after a respawn)
+            deadline = (float(st.get("bench_budget_s", BUDGET_S))
+                        + max(0.0, child_t0 - _T0))
         # the HARD_CAP bounds only the adaptive mode; an explicit
-        # CELESTE_BENCH_BUDGET_S (long local measurement runs) wins
+        # CELESTE_BENCH_BUDGET_S (long local measurement runs) wins.
+        # Granted overtime extends the cap: those children were spawned
+        # into the extended window on purpose.
         if not _ENV_BUDGET:
-            deadline = min(deadline, HARD_CAP_S)
+            deadline = min(deadline, HARD_CAP_S + overtime_granted)
         if _elapsed() > deadline + grace:
-            print(f"# PARENT: deadline passed at {_elapsed():.0f}s — "
-                  "killing child, emitting last snapshot", file=sys.stderr)
-            child.kill()
-            child.wait()
+            if not _init_done(st) and not _has_metrics(st):
+                # attach hang still in progress at the deadline: an
+                # on-time emit is a guaranteed zero record, so gamble on
+                # the driver's window being longer (SIGTERM emit covers
+                # the loss) and keep recovering
+                if _hang_cycle("deadline during attach hang", st):
+                    continue
+            _log("deadline_kill", elapsed_s=round(_elapsed(), 1))
+            _kill_child()
             killed = True
             break
         time.sleep(1.0)
-    result = dict(RESULT)
-    try:
-        with open(STATE_PATH) as fh:
-            result.update(json.load(fh))
-    except Exception as e:  # noqa: BLE001 — no state: emit the skeleton
-        print(f"# PARENT: no state file ({e})", file=sys.stderr)
+    result = _build_result()
     if killed or result.get("bench_wall_s") is None:
         result["bench_wall_s"] = round(_elapsed(), 1)
     sys.stdout.write(json.dumps(result) + "\n")
     sys.stdout.flush()
+    _log("emit", value=result.get("value"),
+         stages_skipped=result.get("stages_skipped"),
+         wall_s=result.get("bench_wall_s"))
     try:
         os.remove(STATE_PATH)
     except FileNotFoundError:

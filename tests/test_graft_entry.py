@@ -50,3 +50,29 @@ def test_dryrun_multichip_reexecs_when_backend_already_cpu_but_small():
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "DRYRUN_OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_entry_compile_check_stays_off_the_tpu():
+    """Round-5 hazard control (VERDICT r4 Next #1/#2, DESIGN.md §9): ANY
+    axon attach poisons the next attach for ~5 min — and the driver
+    compile-checks ``entry()`` minutes before running ``bench.py``.  The
+    module must therefore pin the compile-check to CPU under the
+    container's hostile default env (sitecustomize pinning 'axon,cpu'),
+    reserving the TPU session for the bench."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("CELESTE_ENTRY_TPU", None)
+    code = (
+        "import __graft_entry__ as g; import jax;"
+        "fn, args = g.entry();"
+        "out = jax.jit(fn)(*args); out.block_until_ready();"
+        "assert jax.default_backend() == 'cpu', jax.default_backend();"
+        "print('ENTRY_CPU_OK', out.shape)"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "ENTRY_CPU_OK" in proc.stdout
