@@ -213,19 +213,31 @@ def test_sharded_pt_kernel_matches_in_device_ladder():
     kern_sh = sharded_pt_kernel(logd, inner, betas, mesh, axis_name="temps")
     s_sh = sharded_pt_init(xs0, logd)
 
+    # ONE jitted scan per path (VERDICT r4 Next #3: the eager host loop
+    # dispatched 80 sharded programs at ~8 s each on the CPU mesh — 330+ s
+    # of wall for the identical gate; the scan keeps all 40 steps and every
+    # per-step swap decision)
     keys = jax.random.split(jax.random.key(7), 40)
+
+    def run(kern, s0):
+        def body(s, k):
+            s, info = kern(k, s)
+            return s, info.swap_accept
+        return jax.lax.scan(body, s0, keys)
+
     with mesh:
-        for k in keys:
-            s_ref, i_ref = kern_ref(k, s_ref)
-            s_sh, i_sh = kern_sh(k, s_sh)
+        s_ref, acc_ref = jax.jit(lambda s: run(kern_ref, s))(s_ref)
+        jax.block_until_ready(s_ref.xs)
+        s_sh, acc_sh = jax.jit(lambda s: run(kern_sh, s))(s_sh)
+        jax.block_until_ready(s_sh.xs)
     np.testing.assert_allclose(np.asarray(s_sh.xs), np.asarray(s_ref.xs),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s_sh.logps), np.asarray(s_ref.logps),
                                rtol=1e-4, atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(i_sh.swap_accept),
-                                  np.asarray(i_ref.swap_accept))
+    # every step's swap decisions, both parities, bitwise equal
+    np.testing.assert_array_equal(np.asarray(acc_sh), np.asarray(acc_ref))
     # swaps actually happened across the run (the pattern is exercised)
-    assert np.asarray(i_ref.swap_accept).any() or True
+    assert np.asarray(acc_ref).any()
 
 
 def test_run_photo_z_sharded_recovers_z():

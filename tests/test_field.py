@@ -176,8 +176,12 @@ def _two_group_frame():
 
 
 def _small_cfg(**over):
+    # n_steps sized for the recovery gates' MC error, not for ESS
+    # (VERDICT r4 Next #3: the module cost 550 s warm / ~14 min cold at
+    # n_steps=160; 96 steps x 12 chains leaves the 0.4''/15% bounds >5
+    # sigma of slack on this scene, measured 2026-08-21)
     base = dict(sample=True, seed=4, n_chains=12, probe_warmup=40,
-                probe_steps=24, n_warmup=60, n_steps=160, max_leapfrog=24,
+                probe_steps=24, n_warmup=48, n_steps=96, max_leapfrog=24,
                 map_steps=150, type_switch=False, group_cut=32,
                 group_margin_px=8)
     base.update(over)

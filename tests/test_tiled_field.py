@@ -400,13 +400,20 @@ def test_config5_multiband_tiled_parity_and_sampling():
     gap_abs, _ = config5_parity_gap(logd, logd_dense, vec)
     assert gap_abs < 1.0, gap_abs
 
-    b = 1024
+    # ensemble sizes chosen for COMPILE wall, not statistics (VERDICT r4
+    # Next #3): the gate is "the D=68 tiled multiband posterior runs a
+    # finite, accepting ChEES ensemble", which 256 chains x 4 leapfrogs
+    # exercises identically — the b=1024/ml=8 original cost ~650 s of
+    # cold XLA compile on the CPU mesh for the same yes/no answer
+    # (measured 2026-08-21: this shape is 43 s cold; the bench still runs
+    # the full-size ensemble on TPU)
+    b = 256
     xs0 = vec[None, :] + 0.003 * jax.random.normal(
         jax.random.key(2), (b, vec.shape[0]))
     st = chees_init(xs0, logd)
     samples, _, infos = run_chees_ensemble(
-        jax.random.key(3), logd, st, n_steps=8, step_size=0.002,
-        trajectory_length=0.01, max_leapfrog=8)
+        jax.random.key(3), logd, st, n_steps=4, step_size=0.002,
+        trajectory_length=0.01, max_leapfrog=4)
     assert np.isfinite(np.asarray(samples)).all()
     assert float(jnp.mean(infos.accept_rate)) > 0.2
     assert float(jnp.mean(infos.divergence_rate)) == 0.0
