@@ -332,6 +332,12 @@ def _measure_init():
     _set_phase("stages")   # no stall limit: caps + deadline govern stages
     init_s = time.time() - t
     RESULT["tunnel_init_s"] = round(init_s, 1)
+    RESULT["backend"] = jax.default_backend()   # init_done telemetry
+    # measured phase walls (2026-08-21 rehearsal): import ~0.0 because the
+    # container's sitecustomize pre-imports jax at interpreter start,
+    # BEFORE this module runs — the attach itself is fully covered by the
+    # tiny_op/first_program/pallas_probe phases (54.7 s = 1.4 + 2.7 +
+    # 50.6: the per-program-type bring-up landed on the pallas probe)
     if not _ENV_BUDGET:
         BUDGET_S = min(_elapsed() + STAGE_BUDGET_S, HARD_CAP_S)
         RESULT["bench_budget_s"] = BUDGET_S

@@ -478,3 +478,51 @@ def test_field_checkpoint_resume_bitwise(tmp_path):
                                           probe_warmup=20, probe_steps=8,
                                           n_warmup=20, n_steps=20,
                                           map_steps=60), priors=PRIORS)
+
+
+@pytest.mark.slow
+def test_field_scale_accuracy():
+    """Survey-realism accuracy at field scale (VERDICT r4 Next #5): the
+    256x1024 frame with ~60 mixed sources incl. four sub-linking-radius
+    blended pairs, through the full detect -> classify -> MAP scan.
+    Detection-side gates run here (MAP catalog, ~15 s warm); the
+    posterior-width gates (pos/flux z-RMS) need the sampled catalog,
+    which costs ~25 min on this 1-core VM but seconds on TPU — they are
+    gated on the committed TPU artifact below, so regenerating that
+    artifact with a miscalibrated sampler fails THIS lane."""
+    import json
+
+    from celeste_tpu.bench.field_scale import (
+        accuracy_report, make_survey_scene, survey_scene_cfg,
+    )
+
+    scene, srcs = make_survey_scene()
+    assert len(srcs) >= 50
+    assert tuple(np.asarray(scene.stamps[0].counts).shape) == (256, 1024)
+    cat, art = run_field_pipeline(scene.stamps[0], band=0, n_bands=1,
+                                  cfg=survey_scene_cfg(sample=False),
+                                  priors=PRIORS)
+    rep = accuracy_report(cat, scene, srcs)
+    assert rep["completeness"] >= 0.9, rep
+    assert rep["purity"] >= 0.9, rep
+    assert rep["kind_accuracy"] >= 0.9, rep
+    assert rep["pos_rms_arcsec"] < 0.1, rep
+    assert abs(rep["flux_rel_bias"]) < 0.05, rep
+    # every blended pair resolved: 2 matched entries within each pair's
+    # neighborhood (completeness over the full truth set implies it, but
+    # assert the mechanism explicitly)
+    assert rep["n_matched"] == len(srcs)
+
+    # posterior-calibration gates at this scale, from the committed TPU
+    # run (scripts/tpu_field_scale.py; measured CPU reference 2026-08-21:
+    # pos_z_rms 1.042, flux_z_rms 1.044 on this exact scene)
+    import os
+    art_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "tpu_field_scale_results.json")
+    if os.path.exists(art_path):
+        with open(art_path) as fh:
+            tpu_rep = json.load(fh)["accuracy"]
+        assert tpu_rep["completeness"] >= 0.9, tpu_rep
+        assert tpu_rep["purity"] >= 0.9, tpu_rep
+        assert 0.7 <= tpu_rep["pos_z_rms"] <= 1.4, tpu_rep
+        assert 0.7 <= tpu_rep["flux_z_rms"] <= 1.4, tpu_rep
