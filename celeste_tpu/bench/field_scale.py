@@ -66,8 +66,15 @@ def make_survey_scene(shape=(256, 1024), n_isolated=56, seed=11,
                 phi=float(rng.uniform(0.0, np.pi))))
         else:
             srcs.append(star_source(u=to_u(x, y), flux_r=f))
-    for bx, by, sep_px in ((150, 60, 3.0 / 0.396), (500, 200, 2.6 / 0.396),
-                           (800, 90, 3.4 / 0.396), (300, 128, 2.8 / 0.396)):
+    # blended pairs at frame-fraction anchors so the scene scales with
+    # ``shape``; at the 256x1024 default these are exactly the pixel
+    # anchors the committed artifacts were measured on (150,60 / 500,200
+    # / 800,90 / 300,128)
+    for fx, fy, sep_as in ((150 / 1024, 60 / 256, 3.0),
+                           (500 / 1024, 200 / 256, 2.6),
+                           (800 / 1024, 90 / 256, 3.4),
+                           (300 / 1024, 128 / 256, 2.8)):
+        bx, by, sep_px = fx * w, fy * h, sep_as / 0.396
         srcs.append(star_source(u=to_u(bx, by), flux_r=55.0))
         srcs.append(star_source(u=to_u(bx + sep_px, by), flux_r=40.0))
     scene = make_synthetic_stamp(srcs, shape=(h, w), bands=(2,), seed=99)

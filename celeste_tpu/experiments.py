@@ -56,6 +56,9 @@ class ExperimentConfig:
     # ``resume=<path>`` the segmented stage checkpoints there every
     # boundary and a rerun resumes bitwise (celeste_tpu/field.py)
     sample_segment: int = 0
+    # field_survey: False -> MAP-only catalog scan (detection/photometry
+    # accuracy in seconds; posteriors need sample=True)
+    sample: bool = True
     # quasar
     n_temps: int = 8
     z_max: float = 6.0
@@ -118,6 +121,13 @@ CONFIGS = {
     "field": ExperimentConfig(name="field", sampler="chees", n_chains=32,
                               n_steps=300, n_warmup=100, shape=(96, 96),
                               n_sources=5, bands=(2,)),
+    # survey-realism frame (celeste_tpu.bench.field_scale): 256x1024,
+    # ~60 mixed sources incl. blended pairs, full pipeline + photoObj-style
+    # accuracy report against the synthetic truth (SURVEY C17)
+    "field_survey": ExperimentConfig(name="field_survey", sampler="chees",
+                                     n_chains=8, n_steps=96, n_warmup=48,
+                                     shape=(256, 1024), n_sources=60,
+                                     bands=(2,)),
 }
 
 
@@ -312,6 +322,40 @@ def run_experiment(cfg: ExperimentConfig):
                 [p["pvalue"] for p in artifacts["ppc"]])
         if cfg.out:
             np.savez(cfg.out, **result)
+        return result
+
+    if cfg.name == "field_survey":
+        from celeste_tpu.bench.field_scale import (
+            accuracy_report, make_survey_scene, survey_scene_cfg,
+        )
+        from celeste_tpu.field import run_field_pipeline
+        from celeste_tpu.model.priors import FluxPrior, SourcePriors
+
+        scene, srcs = make_survey_scene(shape=cfg.shape)
+        fcfg = survey_scene_cfg(
+            sample=cfg.sample, n_chains=cfg.n_chains, n_warmup=cfg.n_warmup,
+            n_steps=cfg.n_steps, seed=cfg.seed,
+            sample_segment=cfg.sample_segment or None,
+            checkpoint_path=cfg.resume or None)
+        catalog, artifacts = run_field_pipeline(
+            scene.stamps[0], band=0, n_bands=1, cfg=fcfg,
+            priors=SourcePriors(flux=FluxPrior(log_ref_mean=3.2,
+                                               log_ref_std=2.0)),
+            logger=logger)
+        rep = accuracy_report(catalog, scene, srcs)
+        logger.log("done", n_sources=len(catalog),
+                   n_groups=artifacts["n_groups"],
+                   completeness=rep["completeness"], purity=rep["purity"],
+                   pos_z_rms=rep["pos_z_rms"], flux_z_rms=rep["flux_z_rms"])
+        result = {
+            "kinds": np.asarray([e.kind for e in catalog]),
+            "du_mean": (np.stack([e.du_mean for e in catalog])
+                        if catalog else np.zeros((0, 2))),
+            "accuracy": rep,
+        }
+        if cfg.out:
+            np.savez(cfg.out, **{k: v for k, v in result.items()
+                                 if k != "accuracy"})
         return result
 
     if cfg.name == "field":

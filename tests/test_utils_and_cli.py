@@ -107,3 +107,18 @@ def test_cli_unknown_key():
     from celeste_tpu.run import main
     with pytest.raises(SystemExit):
         main(["config=star_single", "bogus_key=1"])
+
+
+@pytest.mark.slow
+def test_cli_field_survey_map_scan(tmp_path):
+    """`config=field_survey sample=False` is the fast survey scan: the full
+    256x1024 ~60-source frame through detect -> classify -> MAP with the
+    photoObj-style accuracy report attached (celeste_tpu.bench.field_scale;
+    VERDICT r4 Next #5 surfaced through the CLI)."""
+    from celeste_tpu.run import main
+    out = str(tmp_path / "survey")
+    res = main(["config=field_survey", "sample=False", f"out={out}"])
+    rep = res["accuracy"]
+    assert rep["completeness"] >= 0.9 and rep["purity"] >= 0.9
+    assert len(res["kinds"]) >= 50
+    assert os.path.exists(out + ".npz") or os.path.exists(out)
