@@ -1316,7 +1316,13 @@ def parent_main():
                             f"no tunnel init after {child_age:.0f}s", st):
                         continue
                     break
-        deadline = BUDGET_S
+        # fallback deadline is the OVERTIME-EXTENDED window, not BUDGET_S:
+        # a freshly respawned child has a few seconds of no-state while
+        # sitecustomize imports jax, and judging it against the base
+        # budget killed the innocent third child of the first real
+        # double-hang rehearsal (2026-08-21: spawned at 1205 s into a
+        # 1525 s window, killed the same tick, record lost)
+        deadline = _window()
         if st is not None:
             # the child's budget counts from ITS start; shift into the
             # parent's clock (matters after a respawn)

@@ -327,3 +327,31 @@ def test_wedged_child_is_killed_and_partial_record_emitted(tmp_path):
     # the snapshot carries whatever completed before the wedge (here: init)
     assert rec["tunnel_init_s"] is not None
     assert "deadline_kill" in p.stderr
+
+
+@pytest.mark.slow
+def test_overtime_child_not_killed_before_writing_state(tmp_path):
+    """Regression (found by the first REAL-timescale double-hang
+    rehearsal, 2026-08-21): a child respawned deep into overtime has a
+    few seconds of no-state while sitecustomize imports jax — the
+    parent's deadline fallback judged it against the BASE budget instead
+    of the extended window and killed it the same tick, exhausting the
+    spawn budget and losing the record.  Here the respawn lands at
+    ~50 s elapsed against a 5 s HARD_CAP: the child must survive its
+    startup and complete."""
+    p = _run({"CELESTE_BENCH_WEDGE_PREINIT_ONCE": str(tmp_path / "marker"),
+              "CELESTE_BENCH_STALL_S": "spawned=2",
+              "CELESTE_BENCH_HARD_CAP_S": "5",
+              "CELESTE_BENCH_OVERTIME_S": "600",
+              "CELESTE_BENCH_RESPAWN_COOLDOWN_S": "45",
+              "CELESTE_BENCH_RESPAWN_COOLDOWN_MAX_S": "45",
+              "CELESTE_BENCH_RESPAWN_MIN_S": "5",
+              "CELESTE_BENCH_RESPAWN_RESERVE_S": "60",
+              "CELESTE_BENCH_RESPAWN_CHILD_BUDGET_S": "1",
+              "CELESTE_BENCH_STAGE_BUDGET_S": "1"},
+             tmp_path, timeout=300)
+    rec = _one_record(p)
+    assert "respawn_exhausted" not in p.stderr
+    assert rec["tunnel_init_s"] is not None          # the respawn COMPLETED
+    assert rec["supervisor"]["spawns"] == 2
+    assert rec["supervisor"]["hangs"] == ["spawned"]
