@@ -66,16 +66,18 @@ _META = {"phase": "spawned", "phase_t0": time.time(),
 _EXIT_STALLED = 17   # child rc: self-detected init-phase stall
 
 # Per-phase stall limits (seconds in ONE phase before the child declares
-# itself hung).  Healthy numbers measured on this VM: jax import 15-40 s;
-# tiny first op ~1 s (completes even in the hazard state, DESIGN.md §9);
-# first substantive program 110-150 s warm, outliers to ~400 s when the
-# pool is cold; pallas bring-up is per-program-type and once stalled
-# ~290 s on a live session.  Limits sit above the warm mode but below
-# "forever": killing a live-but-slow outlier costs one cooled respawn,
-# while waiting out a true hang costs the whole record (r4: 830 s, zero
-# stages).  Override: CELESTE_BENCH_STALL_S="spawned=2,import=5,..." .
-_STALL_LIMITS = {"spawned": 300.0, "import": 240.0, "tiny_op": 150.0,
-                 "first_program": 270.0, "pallas_probe": 300.0}
+# itself hung).  Measured init distribution on this VM (2026-08-21, one
+# day): 4.1 s / 54.7 s / 293 s total — the bring-up lands on whichever
+# probe runs the first big program (288.8 s of the 293 landed on the
+# pallas phase, LIVE) and varies 70x between sessions.  Limits therefore
+# sit well above the slowest LIVE init observed (a false kill burns a
+# respawn cycle AND a cooldown on an innocent session) but below
+# "forever": a true hang (r4: blocked >800 s, ~0 CPU) is still detected
+# with enough window left for a cooled respawn, because the parent
+# extends into overtime whenever the record is still empty.  Override:
+# CELESTE_BENCH_STALL_S="spawned=2,import=5,..." .
+_STALL_LIMITS = {"spawned": 300.0, "import": 240.0, "tiny_op": 180.0,
+                 "first_program": 420.0, "pallas_probe": 420.0}
 for _kv in os.environ.get("CELESTE_BENCH_STALL_S", "").split(","):
     if "=" in _kv:
         _k, _v = _kv.split("=", 1)
@@ -1068,8 +1070,11 @@ def parent_main():
 
     # parent backup watchdogs (the child's own stall limits fire first on
     # the GIL-free hang; these catch frozen/never-started children)
+    # above the slowest LIVE init observed from spawn (~296 s,
+    # 2026-08-21): this is the blind backup — the child's phase limits
+    # fire first with real phase evidence
     init_watchdog_s = float(os.environ.get(
-        "CELESTE_BENCH_INIT_WATCHDOG_S", "330"))
+        "CELESTE_BENCH_INIT_WATCHDOG_S", "510"))
     hb_stale_s = float(os.environ.get("CELESTE_BENCH_HB_STALE_S", "90"))
     no_state_s = float(os.environ.get("CELESTE_BENCH_NO_STATE_S", "90"))
     # cooldown floor raised 180 -> 300 (ADVICE r4: DESIGN.md §9's own data
@@ -1079,10 +1084,10 @@ def parent_main():
         "CELESTE_BENCH_RESPAWN_COOLDOWN_S", "300"))
     cooldown_max_s = float(os.environ.get(
         "CELESTE_BENCH_RESPAWN_COOLDOWN_MAX_S", "600"))
-    # minimum post-cooldown budget that makes a respawn worth it (tunnel
-    # init alone is ~110 s on a healthy session); tiny in tests
+    # minimum post-cooldown budget that makes a respawn worth it (live
+    # init measured 4-293 s across sessions); tiny in tests
     respawn_min_s = float(os.environ.get(
-        "CELESTE_BENCH_RESPAWN_MIN_S", "150"))
+        "CELESTE_BENCH_RESPAWN_MIN_S", "250"))
     max_spawns = int(os.environ.get("CELESTE_BENCH_MAX_SPAWNS", "3"))
     overtime_pool_s = float(os.environ.get(
         "CELESTE_BENCH_OVERTIME_S", "1200"))
@@ -1093,8 +1098,10 @@ def parent_main():
     # + config5 ChEES ~80 + photoz ~50)
     shortlist_below_s = float(os.environ.get(
         "CELESTE_BENCH_SHORTLIST_BELOW_S", "450"))
-    # init ~170 + shortlist ~130 + emit margin; tiny in compressed tests
-    reserve_s = float(os.environ.get("CELESTE_BENCH_RESPAWN_RESERVE_S", "320"))
+    # worst LIVE init observed (~300 s) + shortlist ~130 + emit margin —
+    # the first double-hang rehearsal's third child initialized in 293 s
+    # and then est-skipped every stage on its 310 s budget; tiny in tests
+    reserve_s = float(os.environ.get("CELESTE_BENCH_RESPAWN_RESERVE_S", "470"))
     attach_log = os.environ.get(
         "CELESTE_BENCH_ATTACH_LOG",
         os.path.join(_REPO, "scripts", "attach_log.jsonl"))
