@@ -1166,6 +1166,16 @@ def parent_main():
         if stages:
             env["CELESTE_BENCH_STAGES"] = stages
             env["CELESTE_BENCH_C5_CHEES_ONLY"] = "1"
+        if spawn_count == 0 and "CELESTE_BENCH_STALL_S" not in os.environ:
+            # FIRST child only: tighter probe-stall limits (300 s vs the
+            # 420 s default).  A false kill here costs one cooled respawn
+            # that overtime absorbs, while 120 s of earlier true-hang
+            # detection decides whether the shortlist stages fit before
+            # the driver's outer window — respawned children keep the
+            # looser limits because their spawn budget is the scarce
+            # resource by then
+            env["CELESTE_BENCH_STALL_S"] = \
+                "first_program=300,pallas_probe=300"
         spawn_count += 1
         init_logged = False
         _log("spawn", budget_s=None if budget_s is None else round(budget_s, 1),

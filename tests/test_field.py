@@ -180,8 +180,11 @@ def _small_cfg(**over):
     # (VERDICT r4 Next #3: the module cost 550 s warm / ~14 min cold at
     # n_steps=160; 96 steps x 12 chains leaves the 0.4''/15% bounds >5
     # sigma of slack on this scene, measured 2026-08-21)
-    base = dict(sample=True, seed=4, n_chains=12, probe_warmup=40,
-                probe_steps=24, n_warmup=48, n_steps=96, max_leapfrog=24,
+    # probe sizes 32/16 = the survey-scale config's, which delivers
+    # z-RMS 1.04 calibration at 53 groups (bench/field_scale.py) — ample
+    # for pooling a whitening metric on these 2-3 source frames
+    base = dict(sample=True, seed=4, n_chains=12, probe_warmup=32,
+                probe_steps=16, n_warmup=48, n_steps=96, max_leapfrog=24,
                 map_steps=150, type_switch=False, group_cut=32,
                 group_margin_px=8)
     base.update(over)
