@@ -1278,6 +1278,8 @@ def parent_main():
         # JSON even on rc=124
         result = _build_result()
         result["bench_wall_s"] = round(_elapsed(), 1)
+        global _EMITTED
+        _EMITTED = True
         sys.stdout.write(json.dumps(result) + "\n")
         sys.stdout.flush()
         _log("sigterm_emit", value=result.get("value"))
@@ -1367,6 +1369,8 @@ def parent_main():
     result = _build_result()
     if killed or result.get("bench_wall_s") is None:
         result["bench_wall_s"] = round(_elapsed(), 1)
+    global _EMITTED
+    _EMITTED = True
     sys.stdout.write(json.dumps(result) + "\n")
     sys.stdout.flush()
     _log("emit", value=result.get("value"),
@@ -1378,8 +1382,21 @@ def parent_main():
         pass
 
 
+_EMITTED = False   # parent printed its one line (crash guard below)
+
 if __name__ == "__main__":
     if IS_CHILD:
         child_main()
     else:
-        parent_main()
+        try:
+            parent_main()
+        except SystemExit:
+            raise
+        except BaseException as e:  # noqa: BLE001
+            # the contract is ONE JSON line + rc 0 even if the supervisor
+            # itself dies (an unguarded Popen/OS fault here would cost the
+            # round its record just like the hang used to)
+            print(f"# PARENT: supervisor crashed: {e!r}", file=sys.stderr)
+            if not _EMITTED:
+                sys.stdout.write(json.dumps(RESULT) + "\n")
+                sys.stdout.flush()
