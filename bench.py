@@ -15,12 +15,16 @@ JSON line and exits 0.  A same-process watchdog thread cannot give that
 guarantee: a long XLA compile holds the GIL, so neither threads nor
 signal handlers run (measured 2026-08-17: a 3000 s-budget run blew
 through its watchdog inside the multiband compile and died on the outer
-``timeout`` instead).  SIGKILLing a child needs no GIL.  The parent also
-retries a failed tunnel ATTACH once (no state file within the init
-watchdog, or a pre-init child death -> kill, cool-down, respawn with the
-remaining budget): a session can come up with its first big program
-transfer hung forever, which no in-child mechanism survives (measured
-2026-08-21: 830 s, zero stages; DESIGN.md section 9).
+``timeout`` instead).  SIGKILLing a child needs no GIL.  Tunnel-attach
+hangs (a session can come up with its first big program transfer hung
+forever — the failure that cost the round-4 driver record) are survived
+by the round-5 recovery loop: phase-stamped heartbeat state from the
+child's first lines with rc=17 self-detection, adaptive >=300 s
+cooldowns, shortlist respawns (up to two), and overtime window extension
+while the record is still empty; every attach event lands in
+scripts/attach_log.jsonl.  Rehearsed at real timescale: a double
+pre-init hang recovered 6 of 7 stages
+(scripts/bench_r5_wedge_rehearsal.json; DESIGN.md section 9).
 
 Inside the child, stages run in priority order under an adaptive budget:
 the axon tunnel's 120-400 s runtime init is measured and excluded, each
